@@ -1,0 +1,112 @@
+"""Configuration: CLI flags + optional YAML overlay.
+
+Flag surface and precedence (CLI > YAML > built-in defaults) match the
+reference (config.py:39-120) so existing launch scripts keep working, with
+additional TPU-specific flags grouped at the bottom.  ``customvideo_config``
+JSON is post-parsed into ``opt.customopt`` like the reference
+(config.py:115-118).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+
+def _declare_flags(parser: argparse.ArgumentParser) -> None:
+    add = parser.add_argument
+
+    add("--config", "-c", type=str, default="config.yaml",
+        help="YAML config file path (empty string skips)")
+
+    # audio timing
+    add("--fps", type=int, default=25, help="video fps (must be 25)")
+    add("-l", type=int, default=10, help="left stride context, in 20ms frames")
+    add("-m", type=int, default=8)
+    add("-r", type=int, default=10, help="right stride context, in 20ms frames")
+
+    # avatar model
+    add("--model", type=str, default="wav2lip",
+        help="avatar model: musetalk/wav2lip/ultralight")
+    add("--avatar_id", type=str, default="wav2lip256_avatar1",
+        help="avatar id in data/avatars")
+    add("--batch_size", type=int, default=16, help="inference batch size")
+    add("--modelres", type=int, default=192)
+    add("--modelfile", type=str, default="")
+
+    # custom choreography / multi-avatar
+    add("--customvideo_config", type=str, default="", help="custom action json")
+
+    # TTS
+    add("--tts", type=str, default="edgetts",
+        help="tts plugin: edgetts/gpt-sovits/cosyvoice/fishtts/tencent/"
+             "doubao/indextts2/azuretts/qwentts/omnitts/xtts")
+    add("--REF_FILE", type=str, default="zh-CN-YunxiaNeural",
+        help="reference audio filename or voice model id")
+    add("--REF_TEXT", type=str, default=None)
+    add("--TTS_SERVER", type=str, default="http://127.0.0.1:9880")
+
+    # transport
+    add("--transport", type=str, default="webrtc",
+        help="output: rtcpush/webrtc/rtmp/virtualcam")
+    add("--stun", type=str, default="stun:stun.freeswitch.org:3478")
+    add("--push_url", type=str,
+        default="http://localhost:1985/rtc/v1/whip/?app=live&stream=livestream")
+    add("--max_session", type=int, default=5)
+    add("--listenport", type=int, default=8010, help="web listen port")
+
+    # virtualcam
+    add("--audio_output_device", type=int, default=None,
+        help="audio output device index (virtualcam transport only)")
+
+    # ---- TPU-native additions -------------------------------------------
+    add("--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"], help="model compute dtype on device")
+    add("--coalesce", action="store_true", default=False,
+        help="coalesce concurrent sessions into one device batch per tick "
+             "(engine/scheduler.py)")
+    add("--mesh", type=str, default="",
+        help="device mesh spec, e.g. 'dp=4,tp=2'; empty = single chip")
+    add("--profile_dir", type=str, default="",
+        help="when set, dump jax.profiler traces here")
+    add("--models_dir", type=str, default="./models")
+    add("--data_dir", type=str, default="./data")
+
+
+def _yaml_overlay(parser: argparse.ArgumentParser, argv: Optional[Sequence[str]]) -> None:
+    """Apply YAML file values as parser defaults (so CLI still wins)."""
+    try:
+        import yaml
+    except ImportError:
+        return
+    probe, _ = parser.parse_known_args(argv)
+    path = probe.config
+    if not path or not os.path.exists(path):
+        return
+    with open(path, "r", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    if isinstance(cfg, dict):
+        parser.set_defaults(**{k.replace("-", "_"): v for k, v in cfg.items()})
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="LiveTalking-TPU Digital Human Server")
+    _declare_flags(parser)
+    _yaml_overlay(parser, argv)
+    opt = parser.parse_args(argv)
+
+    opt.customopt = []
+    if opt.customvideo_config:
+        with open(opt.customvideo_config, "r") as f:
+            opt.customopt = json.load(f)
+    return opt
+
+
+def default_opt(**overrides: Any) -> argparse.Namespace:
+    """Programmatic config (tests, embedding): defaults + keyword overrides."""
+    opt = parse_args(["--config", ""])
+    for k, v in overrides.items():
+        setattr(opt, k, v)
+    return opt
