@@ -1,0 +1,110 @@
+"""Wav2Lip avatar plugin (model family "wav2lip").
+
+Module contract per reference app.py:128-151: exports ``load_model`` /
+``load_avatar`` / ``warm_up`` plus a ``BaseAvatar`` subclass registered as
+``avatar/wav2lip``. Avatar directory format is byte-compatible with the
+reference (reference avatars/wav2lip_avatar.py:72-88):
+``data/avatars/<id>/{full_imgs/*.png, face_imgs/*.png, coords.pkl}`` with
+coords entries ``(y1, y2, x1, x2)``.
+
+TPU design: the face-crop cycle is uploaded once per avatar as a device-
+resident uint8 array; ``inference_batch`` sends only B int32 mirror indices
+up and receives B uint8 frames back from the fused jitted step
+(models/wav2lip.py ``make_infer_fn``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livetalking_tpu.audio_features.mel_features import MelFeatures
+from livetalking_tpu.avatars.base_avatar import BaseAvatar
+from livetalking_tpu.models import wav2lip as w2l
+from livetalking_tpu.registry import register
+from livetalking_tpu.utils.image import mirror_indices, read_imgs
+from livetalking_tpu.utils.logger import logger
+
+IMG_SIZE = 256
+
+
+def load_model(path: str, opt=None) -> Dict[str, Any]:
+    """Load wav2lip weights. Accepts the reference ``wav2lip.pth`` torch
+    checkpoint; falls back to random init when no file exists (demo/bench
+    mode — same graph, same speed, untrained output)."""
+    dtype = jnp.bfloat16 if getattr(opt, "dtype", "bfloat16") == "bfloat16" else jnp.float32
+    if path and os.path.exists(path):
+        logger.info("Load checkpoint from: %s", path)
+        params = w2l.load_torch_checkpoint(path, dtype)
+    else:
+        logger.warning("wav2lip checkpoint %s not found - using random init", path)
+        params = w2l.init_params(jax.random.PRNGKey(0), dtype)
+    return {"params": params, "dtype": dtype}
+
+
+def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
+    """Load a reference-format avatar directory onto host + device."""
+    avatar_path = os.path.join(data_dir, "avatars", avatar_id)
+    with open(os.path.join(avatar_path, "coords.pkl"), "rb") as f:
+        coord_list_cycle = pickle.load(f)
+
+    def _sorted_imgs(sub: str):
+        paths = glob.glob(os.path.join(avatar_path, sub, "*.[jpJP][pnPN]*[gG]"))
+        return sorted(paths, key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+
+    frame_list_cycle = read_imgs(_sorted_imgs("full_imgs"))
+    face_list_cycle = read_imgs(_sorted_imgs("face_imgs"))
+
+    faces = np.stack(
+        [cv2.resize(f, (IMG_SIZE, IMG_SIZE)) if f.shape[:2] != (IMG_SIZE, IMG_SIZE) else f
+         for f in face_list_cycle]
+    ).astype(np.uint8)
+    return {
+        "frame_list_cycle": frame_list_cycle,
+        "coord_list_cycle": coord_list_cycle,
+        "face_cycle_device": jnp.asarray(faces),  # (N, 256, 256, 3) resident in HBM
+    }
+
+
+def warm_up(batch_size: int, model: Dict[str, Any], modelres: int = IMG_SIZE) -> None:
+    """Compile + execute the fused step once (doubles as a graph smoke test,
+    reference avatars/wav2lip_avatar.py:90-96)."""
+    logger.info("warmup wav2lip model...")
+    step = w2l.make_infer_fn(batch_size, modelres, model["dtype"])
+    cycle = jnp.zeros((1, modelres, modelres, 3), jnp.uint8)
+    idxs = jnp.zeros((batch_size,), jnp.int32)
+    mel = jnp.zeros((batch_size, 80, 16), jnp.float32)
+    step(model["params"], cycle, idxs, mel).block_until_ready()
+
+
+@register("avatar", "wav2lip")
+class LipReal(BaseAvatar):
+    def __init__(self, opt, model: Dict[str, Any], avatar: Dict[str, Any]):
+        super().__init__(opt)
+        self.model = model
+        self.frame_list_cycle = avatar["frame_list_cycle"]
+        self.coord_list_cycle = avatar["coord_list_cycle"]
+        self.face_cycle_device = avatar["face_cycle_device"]
+        self._n_faces = int(self.face_cycle_device.shape[0])
+        self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])
+
+        self.asr = MelFeatures(opt, self)
+        self.asr.warm_up()
+
+    def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
+        idxs = jnp.asarray(mirror_indices(self._n_faces, index, self.batch_size))
+        pred = self._step(self.model["params"], self.face_cycle_device, idxs, audiofeat_batch)
+        return np.asarray(pred)  # (B, 256, 256, 3) uint8
+
+    def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
+        y1, y2, x1, x2 = self.coord_list_cycle[idx]
+        frame = self.frame_list_cycle[idx].copy()
+        frame[y1:y2, x1:x2] = cv2.resize(pred_frame, (x2 - x1, y2 - y1))
+        return frame

@@ -1,0 +1,88 @@
+"""Global session manager: sessionid -> BaseAvatar.
+
+Contract (reference server/session_manager.py:20-97): singleton; max-session
+gate; sessions built in a thread-pool executor (model/avatar load is slow);
+UUID session ids; a ``None`` placeholder reserves the slot during async
+construction.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import uuid
+from typing import Callable, Dict, Optional
+
+from livetalking_tpu.utils.logger import logger
+
+
+class MaxSessionError(Exception):
+    """Raised when the concurrent-session limit is reached."""
+
+
+class SessionManager:
+    _instance = None
+    _instance_lock = threading.Lock()
+
+    def __new__(cls):
+        with cls._instance_lock:
+            if cls._instance is None:
+                cls._instance = super().__new__(cls)
+            return cls._instance
+
+    def __init__(self):
+        if getattr(self, "initialized", False):
+            return
+        self.sessions: Dict[str, object] = {}
+        self.build_session_fn: Optional[Callable] = None
+        self.max_session = 1
+        self._lock = threading.Lock()
+        self.initialized = True
+
+    def set_max_session(self, n: int) -> None:
+        self.max_session = max(1, n)
+
+    def init_builder(self, build_session_fn: Callable) -> None:
+        self.build_session_fn = build_session_fn
+
+    def get_session(self, sessionid: str):
+        return self.sessions.get(sessionid)
+
+    def has_session(self, sessionid: str) -> bool:
+        return self.sessions.get(sessionid) is not None
+
+    async def create_session(self, params: dict, sessionid: Optional[str] = None) -> str:
+        if self.build_session_fn is None:
+            raise RuntimeError("SessionManager builder not initialized")
+        if sessionid is None:
+            sessionid = str(uuid.uuid4())
+
+        with self._lock:
+            active = sum(1 for s in self.sessions.values() if s is not None)
+            if active >= self.max_session:
+                raise MaxSessionError(
+                    f"Maximum session limit reached ({active}/{self.max_session})"
+                )
+            logger.info("Creating sessionid=%s, current session num=%d", sessionid, active)
+            self.sessions[sessionid] = None  # reserve
+
+        try:
+            avatar_session = await asyncio.get_event_loop().run_in_executor(
+                None, self.build_session_fn, sessionid, params
+            )
+        except Exception:
+            self.sessions.pop(sessionid, None)
+            raise
+        self.sessions[sessionid] = avatar_session
+        return sessionid
+
+    def add_session(self, sessionid: str, avatar_session) -> None:
+        self.sessions[sessionid] = avatar_session
+
+    def remove_session(self, sessionid: str) -> None:
+        if sessionid in self.sessions:
+            logger.info("Removing session %s", sessionid)
+            self.sessions.pop(sessionid, None)
+
+
+session_manager = SessionManager()

@@ -1,0 +1,65 @@
+"""Synthetic avatar generation for tests, benches and air-gapped demos.
+
+Writes a reference-format avatar directory (full_imgs/face_imgs/coords.pkl,
+see avatars/wav2lip_avatar.py docstring) containing a procedurally drawn
+"face" so the full pipeline can run without downloaded assets.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def make_synthetic_avatar(
+    avatar_dir: str,
+    n_frames: int = 10,
+    frame_hw: Tuple[int, int] = (480, 640),
+    face_size: int = 256,
+    seed: int = 0,
+) -> str:
+    """Create a synthetic wav2lip-format avatar at ``avatar_dir``."""
+    rng = np.random.default_rng(seed)
+    full_dir = os.path.join(avatar_dir, "full_imgs")
+    face_dir = os.path.join(avatar_dir, "face_imgs")
+    os.makedirs(full_dir, exist_ok=True)
+    os.makedirs(face_dir, exist_ok=True)
+
+    H, W = frame_hw
+    fh = fw = min(H, W) // 2
+    y1 = (H - fh) // 2
+    x1 = (W - fw) // 2
+    coords = []
+    for i in range(n_frames):
+        frame = np.full((H, W, 3), 40 + 10 * (i % 3), np.uint8)
+        # a drifting ellipse "head" so frames differ
+        cx, cy = W // 2 + int(5 * np.sin(i)), H // 2
+        cv2.ellipse(frame, (cx, cy), (fw // 2, fh // 2), 0, 0, 360,
+                    (90, 140, 200), -1)
+        cv2.circle(frame, (cx - 30, cy - 30), 10, (30, 30, 30), -1)
+        cv2.circle(frame, (cx + 30, cy - 30), 10, (30, 30, 30), -1)
+        cv2.ellipse(frame, (cx, cy + 40), (30, 10 + (i % 4) * 3), 0, 0, 360,
+                    (40, 40, 120), -1)
+        noise = rng.integers(0, 8, frame.shape, dtype=np.uint8)
+        frame = cv2.add(frame, noise)
+        cv2.imwrite(os.path.join(full_dir, f"{i}.png"), frame)
+
+        face = cv2.resize(frame[y1 : y1 + fh, x1 : x1 + fw], (face_size, face_size))
+        cv2.imwrite(os.path.join(face_dir, f"{i}.png"), face)
+        coords.append((y1, y1 + fh, x1, x1 + fw))
+
+    with open(os.path.join(avatar_dir, "coords.pkl"), "wb") as f:
+        pickle.dump(coords, f)
+    return avatar_dir
+
+
+def ensure_demo_avatar(data_dir: str, avatar_id: str) -> str:
+    """Create the avatar directory if it doesn't exist; returns its path."""
+    path = os.path.join(data_dir, "avatars", avatar_id)
+    if not os.path.exists(os.path.join(path, "coords.pkl")):
+        make_synthetic_avatar(path)
+    return path
