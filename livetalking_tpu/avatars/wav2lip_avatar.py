@@ -27,12 +27,36 @@ import numpy as np
 
 from livetalking_tpu.audio_features.mel_features import MelFeatures
 from livetalking_tpu.avatars.base_avatar import BaseAvatar
+from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
 from livetalking_tpu.models import wav2lip as w2l
 from livetalking_tpu.registry import register
 from livetalking_tpu.utils.image import mirror_indices, read_imgs
 from livetalking_tpu.utils.logger import logger
 
 IMG_SIZE = 256
+
+# shared cross-session batching state (one device worker per process,
+# engine/scheduler.py) — created lazily when --coalesce sessions appear
+import threading as _threading
+
+_shared_lock = _threading.Lock()
+_shared: dict = {"store": None, "scheduler": None}
+
+
+def get_shared_scheduler(model: Dict[str, Any], batch_size: int) -> tuple:
+    """Lazily create the process-wide (AvatarStore, BatchScheduler) pair."""
+    with _shared_lock:
+        if _shared["scheduler"] is None:
+            store = AvatarStore(IMG_SIZE)
+            sched = BatchScheduler(
+                model["params"], store,
+                lambda n: w2l.make_infer_fn(n, IMG_SIZE, model["dtype"]),
+                batch_size,
+            )
+            sched.start()
+            _shared["store"] = store
+            _shared["scheduler"] = sched
+        return _shared["store"], _shared["scheduler"]
 
 
 def load_model(path: str, opt=None) -> Dict[str, Any]:
@@ -67,8 +91,10 @@ def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
          for f in face_list_cycle]
     ).astype(np.uint8)
     return {
+        "avatar_id": avatar_id,
         "frame_list_cycle": frame_list_cycle,
         "coord_list_cycle": coord_list_cycle,
+        "face_cycle_host": faces,  # for the shared AvatarStore (coalesce mode)
         "face_cycle_device": jnp.asarray(faces),  # (N, 256, 256, 3) resident in HBM
     }
 
@@ -93,14 +119,26 @@ class LipReal(BaseAvatar):
         self.coord_list_cycle = avatar["coord_list_cycle"]
         self.face_cycle_device = avatar["face_cycle_device"]
         self._n_faces = int(self.face_cycle_device.shape[0])
-        self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])
+
+        self._scheduler = None
+        self._store_offset = 0
+        if getattr(opt, "coalesce", False):
+            store, self._scheduler = get_shared_scheduler(model, self.batch_size)
+            self._store_offset, _ = store.add(avatar["avatar_id"], avatar["face_cycle_host"])
+        else:
+            self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])
 
         self.asr = MelFeatures(opt, self)
         self.asr.warm_up()
 
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
-        idxs = jnp.asarray(mirror_indices(self._n_faces, index, self.batch_size))
-        pred = self._step(self.model["params"], self.face_cycle_device, idxs, audiofeat_batch)
+        idxs = mirror_indices(self._n_faces, index, self.batch_size)
+        if self._scheduler is not None:
+            # cross-session batching: one shared device worker per process
+            return self._scheduler.infer(idxs + self._store_offset, audiofeat_batch)
+        pred = self._step(
+            self.model["params"], self.face_cycle_device, jnp.asarray(idxs), audiofeat_batch
+        )
         return np.asarray(pred)  # (B, 256, 256, 3) uint8
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:

@@ -1,0 +1,190 @@
+"""Cross-session device batching.
+
+The reference runs one GPU inference stream per session (SURVEY §2.10);
+concurrency = N independent thread pipelines competing for the device.
+Here all sessions of a model family share ONE device worker:
+
+  - ``AvatarStore`` packs every loaded avatar's face-crop cycle into a
+    single device-resident uint8 buffer; a session's frame index becomes
+    ``store offset + mirror index`` so any mix of sessions/avatars is one
+    gather;
+  - ``BatchScheduler`` drains all currently-queued per-session requests,
+    concatenates their indices and feature windows, pads to a bucketed
+    super-batch size (static shapes — no recompiles as session count
+    fluctuates), runs ONE fused device step, and scatters the resulting
+    frames back to per-session futures.
+
+Per tick the device sees one large MXU-friendly batch instead of N small
+ones, and the host pays one D2H frame transfer instead of N.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from queue import Empty, Queue
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from livetalking_tpu.utils.logger import logger
+
+
+class AvatarStore:
+    """Packs avatar face cycles into one device-resident uint8 buffer."""
+
+    def __init__(self, img_size: int = 256):
+        self.img_size = img_size
+        self._cycles: Dict[str, Tuple[int, int]] = {}  # id -> (offset, length)
+        self._host_parts: List[np.ndarray] = []
+        self._total = 0
+        self._device_buffer = None
+        self._lock = threading.Lock()
+
+    def add(self, avatar_id: str, faces: np.ndarray) -> Tuple[int, int]:
+        """Register a (N, S, S, 3) uint8 face cycle; returns (offset, length)."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            if avatar_id in self._cycles:
+                return self._cycles[avatar_id]
+            assert faces.dtype == np.uint8 and faces.shape[1:] == (self.img_size, self.img_size, 3)
+            offset = self._total
+            self._host_parts.append(faces)
+            self._total += faces.shape[0]
+            self._cycles[avatar_id] = (offset, faces.shape[0])
+            self._device_buffer = jnp.asarray(np.concatenate(self._host_parts, axis=0))
+            return offset, faces.shape[0]
+
+    def lookup(self, avatar_id: str) -> Tuple[int, int]:
+        return self._cycles[avatar_id]
+
+    @property
+    def buffer(self):
+        return self._device_buffer
+
+
+class _Request:
+    __slots__ = ("idxs", "mel", "future")
+
+    def __init__(self, idxs: np.ndarray, mel, future: Future):
+        self.idxs = idxs
+        self.mel = mel
+        self.future = future
+
+
+class BatchScheduler:
+    """One device worker coalescing per-session inference requests.
+
+    ``step_factory(total_batch)`` must return a jitted
+    ``(params, buffer, idxs(total,), mel(total, ...)) -> frames(total, ...)``
+    function (e.g. models/wav2lip.py ``make_infer_fn``). ``buckets`` are the
+    session-count bucket sizes compiled (padding, not recompilation, absorbs
+    fluctuating session counts).
+    """
+
+    def __init__(
+        self,
+        params,
+        store: AvatarStore,
+        step_factory: Callable[[int], Callable],
+        batch_size: int,
+        buckets: Sequence[int] = (1, 2, 4, 8),
+    ):
+        self.params = params
+        self.store = store
+        self.batch_size = batch_size
+        self.buckets = sorted(buckets)
+        self._steps = {k: step_factory(k * batch_size) for k in self.buckets}
+        self._queue: "Queue[_Request]" = Queue()
+        self._quit = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        # observability counters
+        self.requests_run = 0
+        self.batches_run = 0
+        self.frames_run = 0
+
+    # -- session API ------------------------------------------------------
+    def submit(self, global_idxs: np.ndarray, mel) -> Future:
+        """Queue one session batch (B indices into the store + features);
+        returns a Future resolving to (B, S, S, 3) uint8 frames."""
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(global_idxs, np.int32), mel, fut))
+        return fut
+
+    def infer(self, global_idxs: np.ndarray, mel) -> np.ndarray:
+        return self.submit(global_idxs, mel).result()
+
+    # -- worker -----------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._quit.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="batch-scheduler")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._quit.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _drain(self, timeout: float = 0.5) -> List[_Request]:
+        """Block for the first request, then greedily take whatever else is
+        already queued (coalescing window = device step duration: requests
+        that arrive while the previous step runs batch together)."""
+        try:
+            first = self._queue.get(timeout=timeout)
+        except Empty:
+            return []
+        reqs = [first]
+        max_sessions = self.buckets[-1]
+        while len(reqs) < max_sessions:
+            try:
+                reqs.append(self._queue.get_nowait())
+            except Empty:
+                break
+        return reqs
+
+    def _run_batch(self, reqs: List[_Request]) -> None:
+        import jax.numpy as jnp
+
+        k = len(reqs)
+        bucket = next(b for b in self.buckets if b >= k)
+        B = self.batch_size
+
+        idxs = np.zeros(bucket * B, np.int32)
+        mels = []
+        for i, r in enumerate(reqs):
+            idxs[i * B : (i + 1) * B] = r.idxs
+            mels.append(jnp.asarray(r.mel))  # stays on device if already there
+        pad = bucket - k
+        if pad:
+            mels.append(jnp.zeros((pad * B,) + mels[0].shape[1:], jnp.float32))
+        mel = jnp.concatenate(mels, axis=0).astype(jnp.float32)
+
+        frames = np.asarray(
+            self._steps[bucket](self.params, self.store.buffer, jnp.asarray(idxs), mel)
+        )
+        for i, r in enumerate(reqs):
+            r.future.set_result(frames[i * B : (i + 1) * B])
+
+        self.requests_run += k
+        self.batches_run += 1
+        self.frames_run += k * B
+
+    def _run(self) -> None:
+        logger.info("batch scheduler start (buckets=%s, B=%d)", self.buckets, self.batch_size)
+        while not self._quit.is_set():
+            reqs = self._drain()
+            if not reqs:
+                continue
+            try:
+                self._run_batch(reqs)
+            except Exception as e:  # propagate to waiters instead of dying
+                logger.exception("batch scheduler step failed")
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        logger.info("batch scheduler stop (batches=%d requests=%d frames=%d)",
+                    self.batches_run, self.requests_run, self.frames_run)

@@ -1,0 +1,129 @@
+"""Cross-session batch scheduler tests (CPU).
+
+Verifies: store packing + global indexing, coalescing of concurrently
+queued requests into one bucketed super-batch, result scatter correctness
+vs direct per-session steps, padding behavior, and error propagation.
+"""
+
+import threading
+import time
+from concurrent.futures import Future
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
+
+B = 2
+S = 16  # tiny "image" size; the scheduler is model-agnostic
+
+
+def tiny_step_factory(params):
+    """A stand-in fused step: gather + add a feature-derived offset."""
+
+    def factory(total):
+        @jax.jit
+        def step(p, buffer, idxs, mel):
+            faces = jnp.take(buffer, idxs, axis=0).astype(jnp.float32)
+            bias = jnp.sum(mel, axis=(1, 2))[:, None, None, None]
+            return jnp.clip(faces + p["gain"] * bias, 0, 255).astype(jnp.uint8)
+
+        return step
+
+    return factory
+
+
+@pytest.fixture
+def store():
+    st = AvatarStore(img_size=S)
+    rng = np.random.default_rng(0)
+    st.add("a1", rng.integers(0, 200, (4, S, S, 3), dtype=np.uint8))
+    st.add("a2", rng.integers(0, 200, (6, S, S, 3), dtype=np.uint8))
+    return st
+
+
+@pytest.fixture
+def sched(store):
+    params = {"gain": jnp.asarray(1.0)}
+    s = BatchScheduler(params, store, tiny_step_factory(params), B, buckets=(1, 2, 4))
+    s.start()
+    yield s
+    s.stop()
+
+
+def _expected(store, params, idxs, mel):
+    buf = np.asarray(store.buffer)
+    faces = buf[idxs].astype(np.float64)
+    bias = mel.sum(axis=(1, 2))[:, None, None, None]
+    return np.clip(faces + bias, 0, 255).astype(np.uint8)
+
+
+def test_store_offsets(store):
+    assert store.lookup("a1") == (0, 4)
+    assert store.lookup("a2") == (4, 6)
+    assert store.buffer.shape == (10, S, S, 3)
+    # re-adding is idempotent
+    assert store.add("a1", np.zeros((4, S, S, 3), np.uint8)) == (0, 4)
+
+
+def test_single_request_roundtrip(sched, store):
+    rng = np.random.default_rng(1)
+    idxs = np.array([1, 5], np.int32)
+    mel = rng.random((B, 3, 4)).astype(np.float32)
+    got = sched.infer(idxs, mel)
+    np.testing.assert_array_equal(got, _expected(store, None, idxs, mel))
+
+
+def test_concurrent_requests_coalesce_and_scatter(sched, store):
+    rng = np.random.default_rng(2)
+    n_sessions = 4
+    payloads = [
+        (np.array([i, i + 3], np.int32), rng.random((B, 3, 4)).astype(np.float32))
+        for i in range(n_sessions)
+    ]
+    results = [None] * n_sessions
+
+    # stop the worker, preload the queue, restart: forces one coalesced batch
+    sched.stop()
+    futs = [sched.submit(i, m) for i, m in payloads]
+    sched.start()
+    for i, f in enumerate(futs):
+        results[i] = f.result(timeout=30)
+
+    batches_before = sched.batches_run
+    assert batches_before == 1, "4 queued requests should run as one batch"
+    for (idxs, mel), got in zip(payloads, results):
+        np.testing.assert_array_equal(got, _expected(store, None, idxs, mel))
+
+
+def test_padding_bucket(sched, store):
+    """3 requests -> bucket 4 with padding; results still correct."""
+    rng = np.random.default_rng(3)
+    payloads = [
+        (np.array([i, i + 1], np.int32), rng.random((B, 3, 4)).astype(np.float32))
+        for i in range(3)
+    ]
+    sched.stop()
+    futs = [sched.submit(i, m) for i, m in payloads]
+    sched.start()
+    for (idxs, mel), f in zip(payloads, futs):
+        np.testing.assert_array_equal(f.result(timeout=30), _expected(store, None, idxs, mel))
+
+
+def test_error_propagates_to_future(store):
+    params = {"gain": jnp.asarray(1.0)}
+
+    def bad_factory(n):
+        def step(p, buffer, idxs, mel):
+            raise RuntimeError("boom")
+
+        return step
+
+    s = BatchScheduler(params, store, bad_factory, B, buckets=(1,))
+    s.start()
+    fut = s.submit(np.array([0, 1], np.int32), np.zeros((B, 3, 4), np.float32))
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(timeout=10)
+    s.stop()
