@@ -47,18 +47,19 @@ class ConvSpec:
     output_padding: Any = 0
     bn: bool = True  # whether the torch layer had a BatchNorm to fold
     act: Optional[str] = "relu"  # relu | sigmoid | leaky | None
+    groups: int = 1  # feature groups (groups == cin -> depthwise)
 
 
 def init_conv_params(key: jax.Array, spec: ConvSpec, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     """He-normal init; BN-identity at init so folded == plain conv."""
     kh, kw = _pair(spec.kernel)
-    fan_in = spec.cin * kh * kw
+    fan_in = (spec.cin // spec.groups) * kh * kw
     std = math.sqrt(2.0 / fan_in)
-    w = jax.random.normal(key, (kh, kw, spec.cin, spec.cout), jnp.float32) * std
+    w = jax.random.normal(key, (kh, kw, spec.cin // spec.groups, spec.cout), jnp.float32) * std
     return {"w": w.astype(dtype), "b": jnp.zeros((spec.cout,), dtype)}
 
 
-def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride, padding) -> jnp.ndarray:
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride, padding, groups: int = 1) -> jnp.ndarray:
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     y = jax.lax.conv_general_dilated(
@@ -66,6 +67,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride, padding) -> j
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=DIMS,
+        feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
     return y + b.astype(jnp.float32)
@@ -103,7 +105,7 @@ def apply_conv_layer(p: Dict[str, jnp.ndarray], spec: ConvSpec, x: jnp.ndarray) 
     if spec.transpose:
         y = conv_transpose2d(x, p["w"], p["b"], spec.kernel, spec.stride, spec.padding, spec.output_padding)
     else:
-        y = conv2d(x, p["w"], p["b"], spec.stride, spec.padding)
+        y = conv2d(x, p["w"], p["b"], spec.stride, spec.padding, spec.groups)
     if spec.residual:
         y = y + x.astype(jnp.float32)
     if spec.act == "relu":
@@ -113,6 +115,36 @@ def apply_conv_layer(p: Dict[str, jnp.ndarray], spec: ConvSpec, x: jnp.ndarray) 
     elif spec.act == "leaky":
         y = jax.nn.leaky_relu(y, 0.01)
     return y.astype(dtype)
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsampling with torch ``align_corners=True`` semantics.
+
+    Implemented as two small dense interpolation matmuls (one per spatial
+    axis) so it rides the MXU instead of a gather; matrices are baked as
+    constants per (in, out) size.
+    """
+
+    def interp_matrix(n_in: int) -> np.ndarray:
+        n_out = 2 * n_in
+        m = np.zeros((n_out, n_in), np.float32)
+        if n_in == 1:
+            m[:, 0] = 1.0
+            return m
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = (src - lo).astype(np.float32)
+        m[np.arange(n_out), lo] += 1.0 - frac
+        m[np.arange(n_out), hi] += frac
+        return m
+
+    B, H, W, C = x.shape
+    mh = jnp.asarray(interp_matrix(H), x.dtype)
+    mw = jnp.asarray(interp_matrix(W), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y, preferred_element_type=jnp.float32).astype(x.dtype)
+    return y
 
 
 # ---------------------------------------------------------------------------

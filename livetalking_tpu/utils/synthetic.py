@@ -21,8 +21,14 @@ def make_synthetic_avatar(
     frame_hw: Tuple[int, int] = (480, 640),
     face_size: int = 256,
     seed: int = 0,
+    coord_order: str = "yx",
 ) -> str:
-    """Create a synthetic wav2lip-format avatar at ``avatar_dir``."""
+    """Create a synthetic reference-format avatar at ``avatar_dir``.
+
+    ``coord_order``: "yx" writes (y1, y2, x1, x2) coords (wav2lip/musetalk
+    format); "xy" writes (x1, y1, x2, y2) (ultralight format, which also
+    uses ``face_size=168``).
+    """
     rng = np.random.default_rng(seed)
     full_dir = os.path.join(avatar_dir, "full_imgs")
     face_dir = os.path.join(avatar_dir, "face_imgs")
@@ -50,7 +56,10 @@ def make_synthetic_avatar(
 
         face = cv2.resize(frame[y1 : y1 + fh, x1 : x1 + fw], (face_size, face_size))
         cv2.imwrite(os.path.join(face_dir, f"{i}.png"), face)
-        coords.append((y1, y1 + fh, x1, x1 + fw))
+        if coord_order == "xy":
+            coords.append((x1, y1, x1 + fw, y1 + fh))
+        else:
+            coords.append((y1, y1 + fh, x1, x1 + fw))
 
     with open(os.path.join(avatar_dir, "coords.pkl"), "wb") as f:
         pickle.dump(coords, f)
