@@ -1,0 +1,70 @@
+"""Whisper feature extractor for MuseTalk.
+
+Per ``run_step`` (reference avatars/audio_features/whisper.py:58-76):
+ingest ``2*batch_size`` 20 ms chunks, run the whisper-tiny encoder over the
+rolling window (zero-padded to the 30 s whisper chunk, as the HF extractor
+does), stack all hidden states to a (1500, layers+1, 384) feature array,
+and slice per-video-frame windows ``[0, 5]`` at 50 Hz (multiplier 2, start
+l/2), each reshaped to (50, 384) cross-attention context rows.
+
+The mel, encoder, window gather and reshape are one jitted static-shape
+device program; the (B, 50, 384) context batch stays device-resident for
+the latent U-Net step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from livetalking_tpu.audio_features.base import BaseFeatureExtractor, clamp_window_indices
+
+
+class WhisperFeatures(BaseFeatureExtractor):
+    def __init__(self, opt, parent=None, whisper_params=None, whisper_cfg=None,
+                 audio_feat_length=(0, 5)):
+        super().__init__(opt, parent)
+        import jax
+        import jax.numpy as jnp
+
+        from livetalking_tpu.models import whisper_encoder as we
+        from livetalking_tpu.ops.whisper_mel import log_mel_spectrogram
+
+        self._cfg = whisper_cfg or we.TINY
+        self._params = whisper_params
+        self.audio_feat_length = tuple(audio_feat_length)
+
+        self._window_frames = 2 * self.batch_size + self.stride_left_size + self.stride_right_size
+        n_samples = self._window_frames * self.chunk
+        feat_len = self._cfg.max_positions  # 1500 (whisper pads to 30 s)
+        rows = clamp_window_indices(
+            self.batch_size, feat_len, self.audio_feat_length,
+            start=self.stride_left_size // 2, multiplier=2.0,
+        )  # (B, 10)
+        rows_dev = jnp.asarray(rows)
+        n_ctx = rows.shape[1] * (self._cfg.num_layers + 1)  # 10 * 5 = 50
+        D = self._cfg.d_model
+
+        @jax.jit
+        def features(wav):  # (n_samples,) -> (B, 50, 384)
+            mel = log_mel_spectrogram(wav)[None]  # (1, 80, 3000)
+            states = we.apply_stacked(self._params, self._cfg, mel)[0]  # (1500, L+1, D)
+            g = jnp.take(states, rows_dev.reshape(-1), axis=0)
+            g = g.reshape(self.batch_size, n_ctx, D)
+            return g.astype(jnp.float32)
+
+        self._fn = features
+        self._n_samples = n_samples
+
+    def run_step(self) -> None:
+        self._ingest_step_frames()
+        if len(self.frames) <= self.stride_left_size + self.stride_right_size:
+            return
+
+        audio = np.concatenate(self.frames).astype(np.float32)
+        if audio.shape[0] < self._n_samples:
+            audio = np.concatenate([np.zeros(self._n_samples - audio.shape[0], np.float32), audio])
+        elif audio.shape[0] > self._n_samples:
+            audio = audio[-self._n_samples:]
+
+        self.feat_queue.put(self._fn(audio))
+        self._trim_frames()

@@ -1,0 +1,199 @@
+"""MuseTalk avatar plugin (model family "musetalk").
+
+Avatar directory format is byte-compatible with the reference
+(reference avatars/musetalk_avatar.py:69-91):
+``{full_imgs/, coords.pkl (x1, y1, x2, y2), latents.pt, mask/,
+mask_coords.pkl}``. ``latents.pt`` holds per-frame (1, 8, 32, 32) U-Net
+input latents = cat(masked-half latents, reference latents).
+
+Paste-back uses the precomputed feathered face-parse mask: the predicted
+256 px face is resized into the bbox inside the larger mask crop box and
+linearly blended (reference avatars/musetalk/myutil.py:4-26).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Any, Dict
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livetalking_tpu.audio_features.whisper_features import WhisperFeatures
+from livetalking_tpu.avatars.base_avatar import BaseAvatar
+from livetalking_tpu.models import musetalk as mt
+from livetalking_tpu.models import sd_unet, sd_vae
+from livetalking_tpu.models import whisper_encoder as we
+from livetalking_tpu.registry import register
+from livetalking_tpu.utils.image import mirror_indices, read_imgs
+from livetalking_tpu.utils.logger import logger
+
+TINY_UNET = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=4)
+
+
+def load_model(opt=None) -> Dict[str, Any]:
+    """Load whisper encoder + VAE + latent U-Net (shared across sessions)."""
+    dtype = jnp.bfloat16 if getattr(opt, "dtype", "bfloat16") == "bfloat16" else jnp.float32
+    models_dir = getattr(opt, "models_dir", "./models")
+
+    # whisper-tiny
+    wdir = os.path.join(models_dir, "whisper")
+    if os.path.isdir(wdir):
+        import transformers
+
+        logger.info("loading whisper weights from %s", wdir)
+        tmodel = transformers.WhisperModel.from_pretrained(wdir)
+        whisper_params = we.convert_torch_state_dict(tmodel.state_dict(), we.TINY, dtype)
+    else:
+        logger.warning("whisper weights not found at %s - random init", wdir)
+        whisper_params = we.init_params(jax.random.PRNGKey(0), we.TINY, dtype)
+
+    # VAE (sd-vae-ft-mse)
+    vdir = os.path.join(models_dir, "sd-vae-ft-mse")
+    vae_sd = _load_diffusers_weights(vdir)
+    if vae_sd is not None:
+        logger.info("loading VAE weights from %s", vdir)
+        vae_params = sd_vae.convert_torch_state_dict(vae_sd, dtype)
+    else:
+        logger.warning("VAE weights not found at %s - random init", vdir)
+        vae_params = sd_vae.init_params(jax.random.PRNGKey(1), dtype)
+
+    # latent U-Net
+    upath = os.path.join(models_dir, "musetalkV15", "unet.pth")
+    if os.path.exists(upath):
+        import torch
+
+        logger.info("loading musetalk unet from %s", upath)
+        sd = torch.load(upath, map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        unet_cfg = sd_unet.MUSETALK
+        unet_params = sd_unet.convert_torch_state_dict(sd, unet_cfg, dtype)
+    else:
+        size = getattr(opt, "musetalk_size", "full")
+        unet_cfg = TINY_UNET if size == "tiny" else sd_unet.MUSETALK
+        logger.warning("musetalk unet not found at %s - random init (%s)", upath, size)
+        unet_params = sd_unet.init_params(jax.random.PRNGKey(2), unet_cfg, dtype)
+
+    return {
+        "whisper_params": whisper_params, "whisper_cfg": we.TINY,
+        "vae_params": vae_params,
+        "unet_params": unet_params, "unet_cfg": unet_cfg,
+        "dtype": dtype,
+    }
+
+
+def _load_diffusers_weights(dirpath: str):
+    """Read a diffusers model dir (bin or safetensors) as a state dict."""
+    bin_path = os.path.join(dirpath, "diffusion_pytorch_model.bin")
+    st_path = os.path.join(dirpath, "diffusion_pytorch_model.safetensors")
+    if os.path.exists(bin_path):
+        import torch
+
+        return torch.load(bin_path, map_location="cpu", weights_only=False)
+    if os.path.exists(st_path):
+        try:
+            from safetensors.torch import load_file
+
+            return load_file(st_path)
+        except ImportError:
+            logger.error("safetensors unavailable; cannot read %s", st_path)
+    return None
+
+
+def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
+    avatar_path = os.path.join(data_dir, "avatars", avatar_id)
+
+    import torch
+
+    latents = torch.load(os.path.join(avatar_path, "latents.pt"), map_location="cpu",
+                         weights_only=False)
+    # list of (1, 8, 32, 32) NCHW tensors -> (N, 32, 32, 8)
+    lat = np.stack([np.asarray(t.detach().to(torch.float32)).reshape(8, 32, 32) for t in latents])
+    lat = np.transpose(lat, (0, 2, 3, 1)).astype(np.float32)
+
+    with open(os.path.join(avatar_path, "coords.pkl"), "rb") as f:
+        coord_list_cycle = pickle.load(f)
+    with open(os.path.join(avatar_path, "mask_coords.pkl"), "rb") as f:
+        mask_coords_list_cycle = pickle.load(f)
+
+    def _sorted_imgs(sub: str):
+        paths = glob.glob(os.path.join(avatar_path, sub, "*.[jpJP][pnPN]*[gG]"))
+        return sorted(paths, key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+
+    frame_list_cycle = read_imgs(_sorted_imgs("full_imgs"))
+    mask_list_cycle = read_imgs(_sorted_imgs("mask"))
+
+    return {
+        "avatar_id": avatar_id,
+        "frame_list_cycle": frame_list_cycle,
+        "mask_list_cycle": mask_list_cycle,
+        "coord_list_cycle": coord_list_cycle,
+        "mask_coords_list_cycle": mask_coords_list_cycle,
+        "latent_cycle_host": lat,
+        "latent_cycle_device": jnp.asarray(lat),
+    }
+
+
+def warm_up(batch_size: int, model: Dict[str, Any], modelres: int = 256) -> None:
+    logger.info("warmup musetalk model...")
+    step = mt.make_infer_fn(model["unet_cfg"], batch_size, dtype=model["dtype"])
+    cycle = jnp.zeros((1, 32, 32, 8), jnp.float32)
+    idxs = jnp.zeros((batch_size,), jnp.int32)
+    whisper = jnp.zeros((batch_size, 50, 384), jnp.float32)
+    step(model["unet_params"], model["vae_params"], cycle, idxs, whisper).block_until_ready()
+
+
+def blend_face(body: np.ndarray, face: np.ndarray, face_box, mask: np.ndarray, crop_box) -> np.ndarray:
+    """Feathered linear blend of the predicted face into the full frame
+    (reference avatars/musetalk/myutil.py:4-26)."""
+    x, y, x1, y1 = face_box
+    xs, ys, xe, ye = crop_box
+    out = body
+    face_large = out[ys:ye, xs:xe].copy()
+    face_large[y - ys : y1 - ys, x - xs : x1 - xs] = face
+
+    m = (cv2.cvtColor(mask, cv2.COLOR_BGR2GRAY) / 255.0).astype(np.float32)[..., None]
+    region = out[ys:ye, xs:xe].astype(np.float32)
+    out[ys:ye, xs:xe] = (face_large.astype(np.float32) * m + region * (1.0 - m)).astype(np.uint8)
+    return out
+
+
+@register("avatar", "musetalk")
+class MuseReal(BaseAvatar):
+    def __init__(self, opt, model: Dict[str, Any], avatar: Dict[str, Any]):
+        super().__init__(opt)
+        self.model = model
+        self.frame_list_cycle = avatar["frame_list_cycle"]
+        self.mask_list_cycle = avatar["mask_list_cycle"]
+        self.coord_list_cycle = avatar["coord_list_cycle"]
+        self.mask_coords_list_cycle = avatar["mask_coords_list_cycle"]
+        self.latent_cycle_device = avatar["latent_cycle_device"]
+        self._n_frames = int(self.latent_cycle_device.shape[0])
+
+        self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size, dtype=model["dtype"])
+
+        self.asr = WhisperFeatures(
+            opt, self,
+            whisper_params=model["whisper_params"], whisper_cfg=model["whisper_cfg"],
+        )
+        self.asr.warm_up()
+
+    def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
+        idxs = jnp.asarray(mirror_indices(self._n_frames, index, self.batch_size))
+        pred = self._step(
+            self.model["unet_params"], self.model["vae_params"],
+            self.latent_cycle_device, idxs, audiofeat_batch,
+        )
+        return np.asarray(pred)  # (B, 256, 256, 3) uint8 BGR
+
+    def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
+        x1, y1, x2, y2 = self.coord_list_cycle[idx]
+        frame = self.frame_list_cycle[idx].copy()
+        face = cv2.resize(pred_frame.astype(np.uint8), (x2 - x1, y2 - y1))
+        return blend_face(frame, face, (x1, y1, x2, y2),
+                          self.mask_list_cycle[idx], self.mask_coords_list_cycle[idx])

@@ -1,0 +1,242 @@
+"""Shared functional blocks for the Stable-Diffusion-family models that
+MuseTalk uses (AutoencoderKL + UNet2DConditionModel, reference
+avatars/musetalk/models/{vae.py,unet.py} which wrap diffusers).
+
+Everything is NHWC / HWIO, model-dtype activations with f32 accumulation;
+GroupNorm and softmax in f32. Param layout mirrors the diffusers
+state_dict structure so conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return (x.astype(jnp.float32) * jax.nn.sigmoid(x.astype(jnp.float32))).astype(x.dtype)
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
+    """x (B, H, W, C); normalize per group over (H, W, C/groups)."""
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(B, H, W, C)
+    return (xf * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def conv_asym(p: Params, x: jnp.ndarray, stride: int, pad) -> jnp.ndarray:
+    """Conv with explicit per-side padding ((top,bottom),(left,right)) —
+    the VAE downsampler pads (0,1,0,1)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def resnet_block(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
+                 eps: float = 1e-6) -> jnp.ndarray:
+    """diffusers ResnetBlock2D: GN-silu-conv (+temb) GN-silu-conv + shortcut."""
+    h = conv(p["conv1"], silu(group_norm(p["norm1"], x, eps=eps)))
+    if temb is not None and "time_emb_proj" in p:
+        t = linear(p["time_emb_proj"], silu(temb))  # (B, C)
+        h = h + t[:, None, None, :].astype(h.dtype)
+    h = conv(p["conv2"], silu(group_norm(p["norm2"], h, eps=eps)))
+    if "conv_shortcut" in p:
+        x = conv(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def spatial_attention(p: Params, x: jnp.ndarray, heads: int = 1, eps: float = 1e-6) -> jnp.ndarray:
+    """VAE mid-block attention: GN -> single-head attention over H*W -> +res."""
+    B, H, W, C = x.shape
+    h = group_norm(p["group_norm"], x, eps=eps).reshape(B, H * W, C)
+    q, k, v = linear(p["q"], h), linear(p["k"], h), linear(p["v"], h)
+    hd = C // heads
+
+    def split(t):
+        return t.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd ** -0.5)
+    a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    return x + linear(p["o"], o).reshape(B, H, W, C)
+
+
+def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int) -> jnp.ndarray:
+    """BasicTransformerBlock attention (to_q/k/v without bias, to_out with).
+    x (B, T, C); ctx (B, S, D) for cross-attention, else self."""
+    B, T, C = x.shape
+    kv_src = x if ctx is None else ctx
+    q = linear(p["q"], x)
+    k = linear(p["k"], kv_src)
+    v = linear(p["v"], kv_src)
+    hd = C // heads
+
+    def split(t):
+        return t.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd ** -0.5)
+    a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, C)
+    return linear(p["o"], o)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def geglu_ff(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """diffusers FeedForward with GEGLU: proj to 2*inner, x * gelu(gate)."""
+    h = linear(p["proj"], x)
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(a.dtype)
+    return linear(p["out"], h)
+
+
+def transformer_2d(p: Params, x: jnp.ndarray, ctx: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """diffusers Transformer2DModel with one BasicTransformerBlock and conv
+    projections (SD1.x use_linear_projection=False)."""
+    B, H, W, C = x.shape
+    res = x
+    h = group_norm(p["norm"], x, eps=1e-6)
+    h = conv(p["proj_in"], h, padding=0).reshape(B, H * W, C)
+
+    tb = p["block"]
+    h = h + attention(tb["attn1"], layer_norm(tb["norm1"], h), None, heads)
+    h = h + attention(tb["attn2"], layer_norm(tb["norm2"], h), ctx, heads)
+    h = h + geglu_ff(tb["ff"], layer_norm(tb["norm3"], h))
+
+    h = conv(p["proj_out"], h.reshape(B, H, W, C), padding=0)
+    return h + res
+
+
+def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """diffusers get_timestep_embedding with flip_sin_to_cos=True,
+    downscale_freq_shift=0 (SD1.x): [cos | sin]."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    emb = t.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    return jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
+
+
+# -- converter helpers ------------------------------------------------------
+
+def _np(v):
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
+def t_conv(sd, prefix, dtype):
+    return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0).astype(np.float32), dtype),
+            "b": jnp.asarray(_np(sd[f"{prefix}.bias"]).astype(np.float32), dtype)}
+
+
+def t_lin(sd, prefix, dtype, bias=True):
+    p = {"w": jnp.asarray(_np(sd[f"{prefix}.weight"]).T.astype(np.float32), dtype)}
+    p["b"] = jnp.asarray(_np(sd[f"{prefix}.bias"]).astype(np.float32), dtype) if bias and f"{prefix}.bias" in sd else None
+    return p
+
+
+def t_norm(sd, prefix, dtype):
+    return {"g": jnp.asarray(_np(sd[f"{prefix}.weight"]).astype(np.float32), dtype),
+            "b": jnp.asarray(_np(sd[f"{prefix}.bias"]).astype(np.float32), dtype)}
+
+
+def t_resnet(sd, prefix, dtype, with_time=False):
+    p = {
+        "norm1": t_norm(sd, f"{prefix}.norm1", dtype),
+        "conv1": t_conv(sd, f"{prefix}.conv1", dtype),
+        "norm2": t_norm(sd, f"{prefix}.norm2", dtype),
+        "conv2": t_conv(sd, f"{prefix}.conv2", dtype),
+    }
+    if with_time and f"{prefix}.time_emb_proj.weight" in sd:
+        p["time_emb_proj"] = t_lin(sd, f"{prefix}.time_emb_proj", dtype)
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = t_conv(sd, f"{prefix}.conv_shortcut", dtype)
+    return p
+
+
+def t_spatial_attn(sd, prefix, dtype):
+    """VAE mid attention; supports both modern (to_q/...) and legacy
+    (query/key/value/proj_attn) diffusers layouts."""
+    modern = f"{prefix}.to_q.weight" in sd
+    names = ("to_q", "to_k", "to_v", "to_out.0") if modern else ("query", "key", "value", "proj_attn")
+    return {
+        "group_norm": t_norm(sd, f"{prefix}.group_norm", dtype),
+        "q": t_lin(sd, f"{prefix}.{names[0]}", dtype),
+        "k": t_lin(sd, f"{prefix}.{names[1]}", dtype),
+        "v": t_lin(sd, f"{prefix}.{names[2]}", dtype),
+        "o": t_lin(sd, f"{prefix}.{names[3]}", dtype),
+    }
+
+
+def t_transformer(sd, prefix, dtype):
+    tb = f"{prefix}.transformer_blocks.0"
+    return {
+        "norm": t_norm(sd, f"{prefix}.norm", dtype),
+        "proj_in": t_conv(sd, f"{prefix}.proj_in", dtype),
+        "proj_out": t_conv(sd, f"{prefix}.proj_out", dtype),
+        "block": {
+            "norm1": t_norm(sd, f"{tb}.norm1", dtype),
+            "attn1": {
+                "q": t_lin(sd, f"{tb}.attn1.to_q", dtype, bias=False),
+                "k": t_lin(sd, f"{tb}.attn1.to_k", dtype, bias=False),
+                "v": t_lin(sd, f"{tb}.attn1.to_v", dtype, bias=False),
+                "o": t_lin(sd, f"{tb}.attn1.to_out.0", dtype),
+            },
+            "norm2": t_norm(sd, f"{tb}.norm2", dtype),
+            "attn2": {
+                "q": t_lin(sd, f"{tb}.attn2.to_q", dtype, bias=False),
+                "k": t_lin(sd, f"{tb}.attn2.to_k", dtype, bias=False),
+                "v": t_lin(sd, f"{tb}.attn2.to_v", dtype, bias=False),
+                "o": t_lin(sd, f"{tb}.attn2.to_out.0", dtype),
+            },
+            "norm3": t_norm(sd, f"{tb}.norm3", dtype),
+            "ff": {
+                "proj": t_lin(sd, f"{tb}.ff.net.0.proj", dtype),
+                "out": t_lin(sd, f"{tb}.ff.net.2", dtype),
+            },
+        },
+    }

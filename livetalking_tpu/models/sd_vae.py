@@ -1,0 +1,200 @@
+"""AutoencoderKL (sd-vae-ft-mse) in functional JAX — MuseTalk's image codec.
+
+Architecture per diffusers' AutoencoderKL as instantiated by the reference
+(reference avatars/musetalk/models/vae.py:24 ``AutoencoderKL.from_pretrained
+("./models/sd-vae-ft-mse")``): block_out_channels (128, 256, 512, 512),
+2 resnets per encoder block / 3 per decoder block, single-head mid
+attention, 4 latent channels, scaling factor 0.18215.
+
+Runtime contract (reference vae.py:76-122): ``encode`` maps RGB in [-1, 1]
+(256 px) to latents * 0.18215 (deterministic mode of the posterior — the
+reference calls ``.sample()``; we use the mean, which is the variance-free
+choice for a fixed avatar cache); ``decode`` maps latents back to RGB in
+[0, 1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livetalking_tpu.models.diffusion_blocks import (
+    Params,
+    conv,
+    conv_asym,
+    group_norm,
+    resnet_block,
+    silu,
+    spatial_attention,
+    t_conv,
+    t_norm,
+    t_resnet,
+    t_spatial_attn,
+    upsample_nearest2x,
+)
+
+SCALING_FACTOR = 0.18215
+BLOCK_CH: Tuple[int, ...] = (128, 256, 512, 512)
+LATENT_CH = 4
+
+
+def encode(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 256, 256, 3) in [-1, 1] -> (B, 32, 32, 4) scaled latents (mean)."""
+    h = conv(params["enc_conv_in"], x)
+    for i, blk in enumerate(params["enc_down"]):
+        for rp in blk["resnets"]:
+            h = resnet_block(rp, h)
+        if "down" in blk:
+            h = conv_asym(blk["down"], h, 2, ((0, 1), (0, 1)))
+    h = resnet_block(params["enc_mid"]["r0"], h)
+    h = spatial_attention(params["enc_mid"]["attn"], h)
+    h = resnet_block(params["enc_mid"]["r1"], h)
+    h = conv(params["enc_conv_out"], silu(group_norm(params["enc_norm_out"], h)))
+    moments = conv(params["quant_conv"], h, padding=0)  # (B, 32, 32, 8)
+    mean = moments[..., :LATENT_CH]
+    return mean * SCALING_FACTOR
+
+
+def decode(params: Params, z: jnp.ndarray) -> jnp.ndarray:
+    """(B, 32, 32, 4) scaled latents -> (B, 256, 256, 3) RGB in [0, 1]."""
+    z = z / SCALING_FACTOR
+    h = conv(params["post_quant_conv"], z, padding=0)
+    h = conv(params["dec_conv_in"], h)
+    h = resnet_block(params["dec_mid"]["r0"], h)
+    h = spatial_attention(params["dec_mid"]["attn"], h)
+    h = resnet_block(params["dec_mid"]["r1"], h)
+    for blk in params["dec_up"]:
+        for rp in blk["resnets"]:
+            h = resnet_block(rp, h)
+        if "up" in blk:
+            h = conv(blk["up"], upsample_nearest2x(h))
+    h = conv(params["dec_conv_out"], silu(group_norm(params["dec_norm_out"], h)))
+    return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# init (random, for tests/benches without weights)
+# ---------------------------------------------------------------------------
+
+def _rand_conv(key, kh, kw, cin, cout, dtype):
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * (0.3 / np.sqrt(kh * kw * cin))
+    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype)}
+
+
+def _rand_norm(c, dtype):
+    return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+
+def _rand_resnet(keys, cin, cout, dtype):
+    p = {
+        "norm1": _rand_norm(cin, dtype),
+        "conv1": _rand_conv(next(keys), 3, 3, cin, cout, dtype),
+        "norm2": _rand_norm(cout, dtype),
+        "conv2": _rand_conv(next(keys), 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _rand_conv(next(keys), 1, 1, cin, cout, dtype)
+    return p
+
+
+def _rand_lin(key, i, o, dtype):
+    return {"w": (jax.random.normal(key, (i, o), jnp.float32) * (0.3 / np.sqrt(i))).astype(dtype),
+            "b": jnp.zeros((o,), dtype)}
+
+
+def _rand_attn(keys, c, dtype):
+    return {
+        "group_norm": _rand_norm(c, dtype),
+        "q": _rand_lin(next(keys), c, c, dtype),
+        "k": _rand_lin(next(keys), c, c, dtype),
+        "v": _rand_lin(next(keys), c, c, dtype),
+        "o": _rand_lin(next(keys), c, c, dtype),
+    }
+
+
+def init_params(key: jax.Array, dtype=jnp.bfloat16) -> Params:
+    keys = iter(jax.random.split(key, 256))
+    C = BLOCK_CH
+
+    enc_down: List[Dict] = []
+    cin = C[0]
+    for i, cout in enumerate(C):
+        blk = {"resnets": [_rand_resnet(keys, cin if j == 0 else cout, cout, dtype) for j in range(2)]}
+        if i < len(C) - 1:
+            blk["down"] = _rand_conv(next(keys), 3, 3, cout, cout, dtype)
+        enc_down.append(blk)
+        cin = cout
+
+    dec_up: List[Dict] = []
+    rev = list(reversed(C))  # (512, 512, 256, 128)
+    cin = rev[0]
+    for i, cout in enumerate(rev):
+        blk = {"resnets": [_rand_resnet(keys, cin if j == 0 else cout, cout, dtype) for j in range(3)]}
+        if i < len(rev) - 1:
+            blk["up"] = _rand_conv(next(keys), 3, 3, cout, cout, dtype)
+        dec_up.append(blk)
+        cin = cout
+
+    mid_c = C[-1]
+    return {
+        "enc_conv_in": _rand_conv(next(keys), 3, 3, 3, C[0], dtype),
+        "enc_down": enc_down,
+        "enc_mid": {"r0": _rand_resnet(keys, mid_c, mid_c, dtype),
+                    "attn": _rand_attn(keys, mid_c, dtype),
+                    "r1": _rand_resnet(keys, mid_c, mid_c, dtype)},
+        "enc_norm_out": _rand_norm(mid_c, dtype),
+        "enc_conv_out": _rand_conv(next(keys), 3, 3, mid_c, 2 * LATENT_CH, dtype),
+        "quant_conv": _rand_conv(next(keys), 1, 1, 2 * LATENT_CH, 2 * LATENT_CH, dtype),
+        "post_quant_conv": _rand_conv(next(keys), 1, 1, LATENT_CH, LATENT_CH, dtype),
+        "dec_conv_in": _rand_conv(next(keys), 3, 3, LATENT_CH, mid_c, dtype),
+        "dec_mid": {"r0": _rand_resnet(keys, mid_c, mid_c, dtype),
+                    "attn": _rand_attn(keys, mid_c, dtype),
+                    "r1": _rand_resnet(keys, mid_c, mid_c, dtype)},
+        "dec_up": dec_up,
+        "dec_norm_out": _rand_norm(C[0], dtype),
+        "dec_conv_out": _rand_conv(next(keys), 3, 3, C[0], 3, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# diffusers checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(sd: Dict[str, Any], dtype=jnp.bfloat16) -> Params:
+    enc_down = []
+    for i in range(len(BLOCK_CH)):
+        blk = {"resnets": [t_resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}", dtype) for j in range(2)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            blk["down"] = t_conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", dtype)
+        enc_down.append(blk)
+
+    dec_up = []
+    for i in range(len(BLOCK_CH)):
+        blk = {"resnets": [t_resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}", dtype) for j in range(3)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            blk["up"] = t_conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype)
+        dec_up.append(blk)
+
+    def mid(prefix):
+        return {"r0": t_resnet(sd, f"{prefix}.resnets.0", dtype),
+                "attn": t_spatial_attn(sd, f"{prefix}.attentions.0", dtype),
+                "r1": t_resnet(sd, f"{prefix}.resnets.1", dtype)}
+
+    return {
+        "enc_conv_in": t_conv(sd, "encoder.conv_in", dtype),
+        "enc_down": enc_down,
+        "enc_mid": mid("encoder.mid_block"),
+        "enc_norm_out": t_norm(sd, "encoder.conv_norm_out", dtype),
+        "enc_conv_out": t_conv(sd, "encoder.conv_out", dtype),
+        "quant_conv": t_conv(sd, "quant_conv", dtype),
+        "post_quant_conv": t_conv(sd, "post_quant_conv", dtype),
+        "dec_conv_in": t_conv(sd, "decoder.conv_in", dtype),
+        "dec_mid": mid("decoder.mid_block"),
+        "dec_up": dec_up,
+        "dec_norm_out": t_norm(sd, "decoder.conv_norm_out", dtype),
+        "dec_conv_out": t_conv(sd, "decoder.conv_out", dtype),
+    }

@@ -66,6 +66,50 @@ def make_synthetic_avatar(
     return avatar_dir
 
 
+def make_synthetic_musetalk_avatar(avatar_dir: str, vae_params, n_frames: int = 6,
+                                   frame_hw: Tuple[int, int] = (480, 640), seed: int = 0) -> str:
+    """Create a musetalk-format avatar: synthetic frames + VAE-encoded
+    latents.pt + feathered masks + coords/mask_coords pickles (the offline
+    product of the reference musetalk genavatar, SURVEY §2.8)."""
+    import torch
+
+    from livetalking_tpu.models.musetalk import encode_avatar_latents
+
+    make_synthetic_avatar(avatar_dir, n_frames=n_frames, frame_hw=frame_hw,
+                          face_size=256, seed=seed, coord_order="xy")
+    with open(os.path.join(avatar_dir, "coords.pkl"), "rb") as f:
+        coords = pickle.load(f)
+
+    faces = []
+    for i in range(n_frames):
+        face = cv2.imread(os.path.join(avatar_dir, "face_imgs", f"{i}.png"))
+        faces.append(cv2.resize(face, (256, 256)))
+    lat = encode_avatar_latents(vae_params, np.stack(faces))  # (N, 32, 32, 8)
+    tensors = [torch.from_numpy(np.transpose(l, (2, 0, 1))[None]) for l in lat]
+    torch.save(tensors, os.path.join(avatar_dir, "latents.pt"))
+
+    H, W = frame_hw
+    mask_dir = os.path.join(avatar_dir, "mask")
+    os.makedirs(mask_dir, exist_ok=True)
+    mask_coords = []
+    for i, (x1, y1, x2, y2) in enumerate(coords):
+        # crop box: bbox expanded by 10% clamped to the frame
+        mx = (x2 - x1) // 10
+        my = (y2 - y1) // 10
+        xs, ys = max(0, x1 - mx), max(0, y1 - my)
+        xe, ye = min(W, x2 + mx), min(H, y2 + my)
+        mask = np.zeros((ye - ys, xe - xs, 3), np.uint8)
+        cv2.ellipse(mask, ((xe - xs) // 2, (ye - ys) // 2),
+                    ((x2 - x1) // 2, (y2 - y1) // 2), 0, 0, 360,
+                    (255, 255, 255), -1)
+        mask = cv2.GaussianBlur(mask, (31, 31), 0)
+        cv2.imwrite(os.path.join(mask_dir, f"{i}.png"), mask)
+        mask_coords.append((xs, ys, xe, ye))
+    with open(os.path.join(avatar_dir, "mask_coords.pkl"), "wb") as f:
+        pickle.dump(mask_coords, f)
+    return avatar_dir
+
+
 def ensure_demo_avatar(data_dir: str, avatar_id: str) -> str:
     """Create the avatar directory if it doesn't exist; returns its path."""
     path = os.path.join(data_dir, "avatars", avatar_id)

@@ -1,0 +1,186 @@
+"""Block-level numeric tests for the SD building blocks vs plain torch.
+
+Full pretrained checkpoints are not available in this environment, so
+parity is established at the block level (GroupNorm, ResnetBlock2D,
+attention, GEGLU, timestep embedding, up/downsampling) against torch
+compositions, plus whole-model shape/invariant tests for the VAE and the
+latent U-Net.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from livetalking_tpu.models import diffusion_blocks as db  # noqa: E402
+from livetalking_tpu.models import musetalk as mt  # noqa: E402
+from livetalking_tpu.models import sd_unet, sd_vae  # noqa: E402
+
+
+def _j(p):  # numpy -> f32 jax param dict
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 32)).astype(np.float32)
+    g = rng.standard_normal(32).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    gn = nn.GroupNorm(4, 32, eps=1e-6)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(g))
+        gn.bias.copy_(torch.from_numpy(b))
+        want = gn(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(db.group_norm(_j({"g": g, "b": b}), jnp.asarray(x), groups=4, eps=1e-6))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resnet_block_matches_torch(rng):
+    cin, cout, tdim = 16, 32, 24
+    x = rng.standard_normal((2, 8, 8, cin)).astype(np.float32)
+    temb = rng.standard_normal((2, tdim)).astype(np.float32)
+
+    tb = {
+        "norm1": nn.GroupNorm(8, cin, eps=1e-5), "conv1": nn.Conv2d(cin, cout, 3, 1, 1),
+        "time": nn.Linear(tdim, cout),
+        "norm2": nn.GroupNorm(8, cout, eps=1e-5), "conv2": nn.Conv2d(cout, cout, 3, 1, 1),
+        "short": nn.Conv2d(cin, cout, 1),
+    }
+    torch.manual_seed(0)
+    for m in tb.values():
+        for p in m.parameters():
+            with torch.no_grad():
+                p.normal_(0, 0.2)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tt = torch.from_numpy(temb)
+        h = tb["conv1"](F.silu(tb["norm1"](xt)))
+        h = h + tb["time"](F.silu(tt))[:, :, None, None]
+        h = tb["conv2"](F.silu(tb["norm2"](h)))
+        want = (tb["short"](xt) + h).numpy().transpose(0, 2, 3, 1)
+
+    def cp(conv):
+        return {"w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(conv.bias.detach().numpy())}
+
+    p = {
+        "norm1": {"g": jnp.asarray(tb["norm1"].weight.detach().numpy()),
+                  "b": jnp.asarray(tb["norm1"].bias.detach().numpy())},
+        "conv1": cp(tb["conv1"]),
+        "time_emb_proj": {"w": jnp.asarray(tb["time"].weight.detach().numpy().T),
+                          "b": jnp.asarray(tb["time"].bias.detach().numpy())},
+        "norm2": {"g": jnp.asarray(tb["norm2"].weight.detach().numpy()),
+                  "b": jnp.asarray(tb["norm2"].bias.detach().numpy())},
+        "conv2": cp(tb["conv2"]),
+        "conv_shortcut": cp(tb["short"]),
+    }
+    # our group_norm defaults to 32 groups; torch uses 8 here -> recompute
+    import functools
+
+    orig = db.group_norm
+    got = None
+    try:
+        db.group_norm = functools.partial(orig, groups=8)
+        got = np.asarray(db.resnet_block(p, jnp.asarray(x), jnp.asarray(temb), eps=1e-5))
+    finally:
+        db.group_norm = orig
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_attention_matches_torch_sdpa(rng):
+    B, T, S, C, D, heads = 2, 10, 7, 32, 24, 4
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    ctx = rng.standard_normal((B, S, D)).astype(np.float32)
+    wq = rng.standard_normal((C, C)).astype(np.float32) * 0.2
+    wk = rng.standard_normal((D, C)).astype(np.float32) * 0.2
+    wv = rng.standard_normal((D, C)).astype(np.float32) * 0.2
+    wo = rng.standard_normal((C, C)).astype(np.float32) * 0.2
+    bo = rng.standard_normal(C).astype(np.float32)
+
+    with torch.no_grad():
+        q = torch.from_numpy(x @ wq).view(B, T, heads, C // heads).transpose(1, 2)
+        k = torch.from_numpy(ctx @ wk).view(B, S, heads, C // heads).transpose(1, 2)
+        v = torch.from_numpy(ctx @ wv).view(B, S, heads, C // heads).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(B, T, C).numpy()
+        want = o @ wo + bo
+
+    p = {"q": {"w": jnp.asarray(wq), "b": None}, "k": {"w": jnp.asarray(wk), "b": None},
+         "v": {"w": jnp.asarray(wv), "b": None},
+         "o": {"w": jnp.asarray(wo), "b": jnp.asarray(bo)}}
+    got = np.asarray(db.attention(p, jnp.asarray(x), jnp.asarray(ctx), heads))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_geglu_matches_torch(rng):
+    C, inner = 16, 32
+    x = rng.standard_normal((2, 5, C)).astype(np.float32)
+    wp = rng.standard_normal((C, 2 * inner)).astype(np.float32) * 0.3
+    bp = rng.standard_normal(2 * inner).astype(np.float32)
+    wo = rng.standard_normal((inner, C)).astype(np.float32) * 0.3
+    bo = rng.standard_normal(C).astype(np.float32)
+
+    h = x @ wp + bp
+    a, gate = np.split(h, 2, axis=-1)
+    want = (a * torch.nn.functional.gelu(torch.from_numpy(gate)).numpy()) @ wo + bo
+
+    p = {"proj": {"w": jnp.asarray(wp), "b": jnp.asarray(bp)},
+         "out": {"w": jnp.asarray(wo), "b": jnp.asarray(bo)}}
+    got = np.asarray(db.geglu_ff(p, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_timestep_embedding_flip_sin_to_cos():
+    # diffusers get_timestep_embedding(…, flip_sin_to_cos=True, shift=0)
+    t = np.array([0.0, 1.0, 999.0], np.float32)
+    dim = 16
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half) / half
+    emb = t[:, None] * np.exp(exponent)[None]
+    want = np.concatenate([np.cos(emb), np.sin(emb)], axis=-1)
+    got = np.asarray(db.timestep_embedding(jnp.asarray(t), dim))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_upsample_nearest_matches_torch(rng):
+    x = rng.standard_normal((1, 3, 4, 2)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+                         mode="nearest").numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(db.upsample_nearest2x(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want)
+
+
+def test_vae_roundtrip_shapes():
+    params = sd_vae.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    z = sd_vae.encode(params, x)
+    assert z.shape == (1, 32, 32, 4)
+    y = sd_vae.decode(params, z)
+    assert y.shape == (1, 256, 256, 3)
+    assert bool(jnp.all((y >= 0) & (y <= 1)))
+
+
+def test_unet_tiny_forward_shapes():
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    params = sd_unet.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 8), jnp.float32)
+    ctx = jnp.zeros((2, 50, 384), jnp.float32)
+    out = sd_unet.apply(params, cfg, x, jnp.zeros((2,)), ctx)
+    assert out.shape == (2, 32, 32, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_musetalk_fused_step():
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    unet_params = sd_unet.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    vae_params = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+    step = mt.make_infer_fn(cfg, batch_size=2, dtype=jnp.float32)
+    cycle = jnp.zeros((3, 32, 32, 8), jnp.float32)
+    out = step(unet_params, vae_params, cycle, jnp.asarray([0, 2]),
+               jnp.zeros((2, 50, 384), jnp.float32))
+    assert out.shape == (2, 256, 256, 3)
+    assert out.dtype == jnp.uint8
