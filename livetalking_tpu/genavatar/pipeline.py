@@ -1,0 +1,213 @@
+"""Model-specific avatar build pipelines.
+
+Output directory formats are byte-compatible with the runtime loaders
+(and the reference):
+  - wav2lip  (reference avatars/wav2lip/genavatar.py:50-166):
+    full_imgs/ + face_imgs/ (img_size crops) + coords.pkl (y1, y2, x1, x2)
+  - musetalk (reference avatars/musetalk/genavatar.py:49-183):
+    full_imgs/ + coords.pkl (x1, y1, x2, y2) + latents.pt + mask/ +
+    mask_coords.pkl
+  - ultralight (reference avatars/ultralight/genavatar.py:40-95):
+    full_imgs/ + face_imgs/ (168 px) + coords.pkl (x1, y1, x2, y2)
+    [+ per-avatar ultralight.pth supplied by training]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from livetalking_tpu.genavatar.face import FaceDetector, detect_track
+from livetalking_tpu.utils.logger import logger
+
+Progress = Optional[Callable[[int, str], None]]
+
+
+def _report(progress: Progress, pct: int, msg: str) -> None:
+    if progress:
+        progress(pct, msg)
+
+
+def load_frames(video_path: str, watermark: bool = True) -> List[np.ndarray]:
+    """Video file OR image directory -> list of BGR frames (reference
+    video2imgs, avatars/wav2lip/genavatar.py:60-75)."""
+    frames: List[np.ndarray] = []
+    if os.path.isdir(video_path):
+        paths = sorted(glob.glob(os.path.join(video_path, "*.[jpJP][pnPN]*[gG]")))
+        frames = [cv2.imread(p) for p in paths]
+    else:
+        cap = cv2.VideoCapture(video_path)
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    if watermark:
+        for f in frames:
+            cv2.putText(f, "LiveTalking", (10, 20), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.3, (128, 128, 128), 1)
+    return frames
+
+
+def _write_frames(dirpath: str, frames: Sequence[np.ndarray]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    for i, f in enumerate(frames):
+        cv2.imwrite(os.path.join(dirpath, f"{i}.png"), f)
+
+
+def _pickle(path: str, obj) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def generate_wav2lip_avatar(
+    video_path: str,
+    avatar_id: str,
+    data_dir: str = "./data",
+    img_size: int = 256,
+    pads: Tuple[int, int, int, int] = (0, 10, 0, 0),
+    face_detector: Optional[FaceDetector] = None,
+    progress_callback: Progress = None,
+) -> str:
+    avatar_dir = os.path.join(data_dir, "avatars", avatar_id)
+    detector = face_detector or FaceDetector()
+
+    _report(progress_callback, 5, "decoding frames")
+    frames = load_frames(video_path)
+    _report(progress_callback, 25, "detecting faces")
+    boxes = detect_track(frames, detector, pads)
+
+    _report(progress_callback, 55, "cropping faces")
+    _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)
+    faces = [cv2.resize(f[y1:y2, x1:x2], (img_size, img_size))
+             for f, (x1, y1, x2, y2) in zip(frames, boxes)]
+    _write_frames(os.path.join(avatar_dir, "face_imgs"), faces)
+    # wav2lip coords use (y1, y2, x1, x2) (reference genavatar.py:126-138)
+    _pickle(os.path.join(avatar_dir, "coords.pkl"),
+            [(y1, y2, x1, x2) for (x1, y1, x2, y2) in boxes])
+    _report(progress_callback, 100, "done")
+    logger.info("wav2lip avatar %s built: %d frames", avatar_id, len(frames))
+    return avatar_dir
+
+
+def _feathered_mask(box: Tuple[int, int, int, int], crop_box, blur: int) -> np.ndarray:
+    """Geometric stand-in for the BiSeNet face-parse mask (reference uses a
+    parsing net + Gaussian feathering, avatars/musetalk/utils/blending.py:
+    112-136; the parse-net path plugs in here when weights are present)."""
+    x1, y1, x2, y2 = box
+    xs, ys, xe, ye = crop_box
+    mask = np.zeros((ye - ys, xe - xs, 3), np.uint8)
+    cx, cy = (x1 + x2) // 2 - xs, (y1 + y2) // 2 - ys
+    cv2.ellipse(mask, (cx, cy), ((x2 - x1) // 2, (y2 - y1) // 2), 0, 0, 360,
+                (255, 255, 255), -1)
+    k = blur | 1
+    return cv2.GaussianBlur(mask, (k, k), 0)
+
+
+def generate_musetalk_avatar(
+    video_path: str,
+    avatar_id: str,
+    data_dir: str = "./data",
+    vae_params=None,
+    bbox_shift: int = 0,
+    version: str = "v15",
+    face_detector: Optional[FaceDetector] = None,
+    progress_callback: Progress = None,
+) -> str:
+    from livetalking_tpu.models.musetalk import encode_avatar_latents
+
+    avatar_dir = os.path.join(data_dir, "avatars", avatar_id)
+    detector = face_detector or FaceDetector()
+
+    _report(progress_callback, 5, "decoding frames")
+    frames = load_frames(video_path)
+    H, W = frames[0].shape[:2]
+    _report(progress_callback, 20, "detecting faces")
+    boxes = detect_track(frames, detector, pads=(0, 0, 0, 0))
+    if version == "v15":  # extra chin margin (reference genavatar.py:121-124)
+        boxes = [(x1, y1, x2, min(H, y2 + (y2 - y1) // 10)) for (x1, y1, x2, y2) in boxes]
+    if bbox_shift:
+        boxes = [(x1, max(0, y1 + bbox_shift), x2, min(H, y2 + bbox_shift))
+                 for (x1, y1, x2, y2) in boxes]
+
+    _report(progress_callback, 40, "encoding VAE latents")
+    if vae_params is None:
+        raise ValueError("musetalk avatar build requires VAE params")
+    faces = np.stack([cv2.resize(f[y1:y2, x1:x2], (256, 256))
+                      for f, (x1, y1, x2, y2) in zip(frames, boxes)]).astype(np.uint8)
+    latents = encode_avatar_latents(vae_params, faces)
+
+    _report(progress_callback, 70, "building masks")
+    _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)
+    mask_dir = os.path.join(avatar_dir, "mask")
+    os.makedirs(mask_dir, exist_ok=True)
+    mask_coords = []
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        mx, my = (x2 - x1) // 10, (y2 - y1) // 10
+        crop_box = (max(0, x1 - mx), max(0, y1 - my), min(W, x2 + mx), min(H, y2 + my))
+        blur = max(5, (x2 - x1) // 12)
+        cv2.imwrite(os.path.join(mask_dir, f"{i}.png"),
+                    _feathered_mask((x1, y1, x2, y2), crop_box, blur))
+        mask_coords.append(crop_box)
+
+    import torch
+
+    tensors = [torch.from_numpy(np.transpose(l, (2, 0, 1))[None]) for l in latents]
+    torch.save(tensors, os.path.join(avatar_dir, "latents.pt"))
+    _pickle(os.path.join(avatar_dir, "coords.pkl"), boxes)
+    _pickle(os.path.join(avatar_dir, "mask_coords.pkl"), mask_coords)
+    _report(progress_callback, 100, "done")
+    logger.info("musetalk avatar %s built: %d frames", avatar_id, len(frames))
+    return avatar_dir
+
+
+def generate_ultralight_avatar(
+    video_path: str,
+    avatar_id: str,
+    data_dir: str = "./data",
+    unet_checkpoint: Optional[str] = None,
+    face_detector: Optional[FaceDetector] = None,
+    progress_callback: Progress = None,
+) -> str:
+    avatar_dir = os.path.join(data_dir, "avatars", avatar_id)
+    detector = face_detector or FaceDetector()
+
+    _report(progress_callback, 5, "decoding frames")
+    frames = load_frames(video_path)
+    _report(progress_callback, 30, "detecting faces")
+    boxes = detect_track(frames, detector, pads=(0, 0, 0, 0))
+    # square crops (landmark-derived in the reference; square-expand here)
+    sq = []
+    H, W = frames[0].shape[:2]
+    for (x1, y1, x2, y2) in boxes:
+        s = max(x2 - x1, y2 - y1)
+        cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
+        x1 = max(0, cx - s // 2); y1 = max(0, cy - s // 2)
+        sq.append((x1, y1, min(W, x1 + s), min(H, y1 + s)))
+    boxes = sq
+
+    _report(progress_callback, 60, "cropping")
+    _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)
+    crops = [cv2.resize(f[y1:y2, x1:x2], (168, 168))
+             for f, (x1, y1, x2, y2) in zip(frames, boxes)]
+    _write_frames(os.path.join(avatar_dir, "face_imgs"), crops)
+    _pickle(os.path.join(avatar_dir, "coords.pkl"), boxes)  # (x1, y1, x2, y2)
+
+    if unet_checkpoint and os.path.exists(unet_checkpoint):
+        import shutil
+
+        shutil.copy(unet_checkpoint, os.path.join(avatar_dir, "ultralight.pth"))
+    else:
+        logger.warning("no per-avatar ultralight checkpoint provided - "
+                       "runtime will use random U-Net weights")
+    _report(progress_callback, 100, "done")
+    logger.info("ultralight avatar %s built: %d frames", avatar_id, len(frames))
+    return avatar_dir

@@ -1,0 +1,97 @@
+"""Offline avatar-build pipeline tests: synthetic video -> avatar dirs
+that round-trip through the runtime loaders, plus the async task manager
+with progress/webhook transitions."""
+
+import os
+import time
+
+import cv2
+import numpy as np
+import pytest
+
+from livetalking_tpu.genavatar import (
+    generate_ultralight_avatar,
+    generate_wav2lip_avatar,
+)
+from livetalking_tpu.genavatar.face import FaceDetector, apply_pads, smooth_boxes
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vid")
+    path = str(d / "input.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (320, 240))
+    for i in range(8):
+        frame = np.full((240, 320, 3), 60, np.uint8)
+        cv2.ellipse(frame, (160 + i, 120), (60, 80), 0, 0, 360, (90, 140, 200), -1)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_smooth_and_pads():
+    boxes = [(10, 10, 50, 50), (20, 20, 60, 60), (30, 30, 70, 70)]
+    sm = smooth_boxes(boxes, window=3)
+    assert sm[1] == (20, 20, 60, 60)
+    assert apply_pads((10, 10, 50, 50), (100, 100), (5, 5, 5, 5)) == (5, 5, 55, 55)
+
+
+def test_wav2lip_avatar_roundtrip(video, tmp_path):
+    data_dir = str(tmp_path)
+    events = []
+    generate_wav2lip_avatar(
+        video, "gen1", data_dir,
+        face_detector=FaceDetector("center"),
+        progress_callback=lambda p, m: events.append((p, m)),
+    )
+    from livetalking_tpu.avatars import wav2lip_avatar as plugin
+
+    avatar = plugin.load_avatar("gen1", data_dir)
+    assert len(avatar["frame_list_cycle"]) == 8
+    assert avatar["face_cycle_device"].shape == (8, 256, 256, 3)
+    y1, y2, x1, x2 = avatar["coord_list_cycle"][0]
+    assert y2 > y1 and x2 > x1
+    assert events[-1][0] == 100
+
+
+def test_ultralight_avatar_roundtrip(video, tmp_path):
+    data_dir = str(tmp_path)
+    generate_ultralight_avatar(video, "gen2", data_dir,
+                               face_detector=FaceDetector("center"))
+    from livetalking_tpu.avatars import ultralight_avatar as plugin
+
+    avatar = plugin.load_avatar("gen2", data_dir)
+    assert avatar["crop_cycle_device"].shape == (8, 168, 168, 3)
+    x1, y1, x2, y2 = avatar["coord_list_cycle"][0]
+    assert (x2 - x1) == (y2 - y1)  # square crop
+
+
+def test_task_manager_lifecycle(video, tmp_path, monkeypatch):
+    from livetalking_tpu.server.task_manager import TaskManager
+
+    webhooks = []
+
+    class _FakeReq:
+        @staticmethod
+        def post(url, json=None, timeout=None):
+            webhooks.append((url, json["status"], json["progress"]))
+
+    import livetalking_tpu.server.task_manager as tm_mod
+
+    monkeypatch.setattr("requests.post", _FakeReq.post)
+
+    tm = TaskManager()
+    task = tm.add_task("taskav", {
+        "model": "wav2lip", "video_path": video, "data_dir": str(tmp_path),
+        "notifyurl": "http://hook.local/x",
+    })
+    deadline = time.time() + 60
+    while time.time() < deadline and task.status not in ("completed", "failed"):
+        time.sleep(0.2)
+    assert task.status == "completed", task.message
+    assert task.progress == 100
+    assert os.path.exists(os.path.join(str(tmp_path), "avatars", "taskav", "coords.pkl"))
+    statuses = [s for _u, s, _p in webhooks]
+    assert "running" in statuses and "completed" in statuses
+    assert tm.get_task(task.task_id) is task
+    assert tm.delete_task(task.task_id)
