@@ -192,10 +192,32 @@ class BaseAvatar:
             self.send_msg(json.dumps(eventpoint))
 
     # ------------------------------------------------------------------
-    # recording (host-side ffmpeg pipes, reference base_avatar.py:231-293)
+    # recording
     # ------------------------------------------------------------------
+    # The reference pipes raw frames through two ffmpeg subprocesses and
+    # remuxes on stop (reference base_avatar.py:231-293). Here the default
+    # is the first-party native muxer (livetalking_tpu/native: one
+    # in-process h264+aac mp4 muxer, no subprocesses, no remux pass); the
+    # ffmpeg-CLI pipe path remains as a fallback.
+    def _record_path(self) -> str:
+        record_dir = os.path.join("data", "record")
+        os.makedirs(record_dir, exist_ok=True)
+        return os.path.join(record_dir, f"{self.sessionid}.mp4")
+
     def start_recording(self) -> None:
         if self.recording:
+            return
+        self._rec_muxer = None
+        try:
+            from livetalking_tpu.native import available
+
+            self._rec_native = available()
+        except Exception:
+            self._rec_native = False
+        if self._rec_native:
+            # muxer opens lazily on the first video frame (needs dims)
+            self._rec_pending_audio = []
+            self.recording = True
             return
         vcmd = ["ffmpeg", "-y", "-an", "-f", "rawvideo", "-vcodec", "rawvideo",
                 "-pix_fmt", "bgr24", "-s", f"{self.width}x{self.height}",
@@ -210,28 +232,49 @@ class BaseAvatar:
     def record_video_data(self, image: np.ndarray) -> None:
         if self.width == 0:
             self.height, self.width, _ = image.shape
-        if self.recording:
+        if not self.recording:
+            return
+        if self._rec_native:
+            if self._rec_muxer is None:
+                from livetalking_tpu.native import AVMuxer
+
+                h, w = image.shape[:2]
+                self._rec_muxer = AVMuxer(self._record_path(), w, h, self.opt.fps)
+                for pcm in self._rec_pending_audio:
+                    self._rec_muxer.write_audio(pcm)
+                self._rec_pending_audio = []
+            self._rec_muxer.write_video(image)
+        else:
             self._rec_video_pipe.stdin.write(image.tobytes())
 
     def record_audio_data(self, frame: np.ndarray) -> None:
-        if self.recording:
+        if not self.recording:
+            return
+        if self._rec_native:
+            if self._rec_muxer is None:
+                self._rec_pending_audio.append(np.asarray(frame, np.int16))
+            else:
+                self._rec_muxer.write_audio(frame)
+        else:
             self._rec_audio_pipe.stdin.write(frame.tobytes())
 
     def stop_recording(self) -> None:
         if not self.recording:
             return
         self.recording = False
+        if self._rec_native:
+            if self._rec_muxer is not None:
+                self._rec_muxer.close()
+                self._rec_muxer = None
+            return
         self._rec_video_pipe.stdin.close()
         self._rec_video_pipe.wait()
         self._rec_audio_pipe.stdin.close()
         self._rec_audio_pipe.wait()
-
-        record_dir = os.path.join("data", "record")
-        os.makedirs(record_dir, exist_ok=True)
-        out = os.path.join(record_dir, f"{self.sessionid}.mp4")
         subprocess.run(
             ["ffmpeg", "-y", "-i", f"temp{self.sessionid}.aac",
-             "-i", f"temp{self.sessionid}.mp4", "-c:v", "copy", "-c:a", "copy", out],
+             "-i", f"temp{self.sessionid}.mp4", "-c:v", "copy", "-c:a", "copy",
+             self._record_path()],
             check=False,
         )
         for tmp in (f"temp{self.sessionid}.aac", f"temp{self.sessionid}.mp4"):

@@ -62,9 +62,16 @@ def _decode_wav_stdlib(data: bytes) -> Tuple[np.ndarray, int]:
 
 
 def _decode_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
-    """Decode arbitrary containers by piping through host ffmpeg."""
+    """Decode arbitrary containers: first-party native decoder (libavformat
+    via livetalking_tpu/native), then the ffmpeg CLI if present."""
+    try:
+        from livetalking_tpu.native import decode_audio_bytes
+
+        return decode_audio_bytes(data, TARGET_SR), TARGET_SR
+    except Exception:
+        pass
     if not shutil.which("ffmpeg"):
-        raise RuntimeError("cannot decode non-WAV audio: soundfile and ffmpeg unavailable")
+        raise RuntimeError("cannot decode non-WAV audio: no decoder available")
     proc = subprocess.run(
         ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "f32le", "-ac", "1",
          "-ar", str(TARGET_SR), "pipe:1"],
