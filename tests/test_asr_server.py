@@ -1,0 +1,276 @@
+"""Local STT endpoint tests: FunASR-protocol WebSocket flow against a fake
+backend, lazy double-checked-lock loading, and inference serialization —
+the same coverage the reference's only test file has (reference
+tests/test_asr_server.py:76-147), plus decoder numerics."""
+
+import asyncio
+import json
+import threading
+import time
+from threading import Thread
+
+import numpy as np
+import pytest
+
+from livetalking_tpu.server import asr_server
+
+PORT = 18471
+
+
+class FakeSTT:
+    def __init__(self, text="hello world", delay=0.0):
+        self.text = text
+        self.delay = delay
+        self.calls = []
+        self._busy = threading.Lock()
+        self.overlapped = False
+
+    def transcribe(self, audio, sample_rate, language="auto"):
+        if not self._busy.acquire(blocking=False):
+            self.overlapped = True
+        try:
+            self.calls.append((len(audio), sample_rate, language))
+            if self.delay:
+                time.sleep(self.delay)
+            return self.text
+        finally:
+            self._busy.release()
+
+
+@pytest.fixture
+def fake_backend():
+    backend = FakeSTT()
+    asr_server.set_stt_backend(backend)
+    yield backend
+    asr_server.set_stt_backend(None)
+
+
+@pytest.fixture(scope="module")
+def asr_server_url():
+    from aiohttp import web
+
+    app = web.Application()
+    app.router.add_get("/api/asr", asr_server.asr_websocket_handler)
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = web.AppRunner(app)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", PORT)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    t = Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    yield f"ws://127.0.0.1:{PORT}/api/asr"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _ws_roundtrip(url, pcm_bytes, config=None, n_chunks=4):
+    """Drive the FunASR client protocol once; return the server's reply."""
+    import aiohttp
+
+    async def go():
+        async with aiohttp.ClientSession() as sess:
+            async with sess.ws_connect(url) as ws:
+                cfg = {"chunk_size": [5, 10, 5], "wav_name": "test",
+                       "is_speaking": True, "mode": "2pass", "itn": False}
+                cfg.update(config or {})
+                await ws.send_str(json.dumps(cfg))
+                step = max(1, len(pcm_bytes) // n_chunks)
+                for i in range(0, len(pcm_bytes), step):
+                    await ws.send_bytes(pcm_bytes[i:i + step])
+                await ws.send_str(json.dumps({"is_speaking": False}))
+                msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                return json.loads(msg.data)
+
+    return asyncio.run(go())
+
+
+def test_protocol_roundtrip(asr_server_url, fake_backend):
+    pcm = (np.sin(np.arange(16000) * 0.05) * 20000).astype(np.int16)
+    reply = _ws_roundtrip(asr_server_url, pcm.tobytes())
+    assert reply == {"text": "hello world", "mode": "2pass-offline",
+                     "is_final": True, "timestamp": None}
+    # int16 -> float32 conversion reached the backend with all samples
+    assert fake_backend.calls[0][0] == 16000
+    assert fake_backend.calls[0][1] == 16000
+
+
+def test_protocol_short_audio_returns_empty(asr_server_url, fake_backend):
+    reply = _ws_roundtrip(asr_server_url, b"\x00" * 100,
+                          config={"mode": "offline"}, n_chunks=1)
+    assert reply["text"] == ""
+    assert reply["mode"] == "offline"
+    assert fake_backend.calls == []  # backend never invoked
+
+
+def test_protocol_odd_byte_count_dropped(asr_server_url, fake_backend):
+    reply = _ws_roundtrip(asr_server_url, b"\x01" * 1601, n_chunks=1)
+    assert reply["is_final"] is True
+    assert fake_backend.calls[0][0] == 800  # 1600 bytes -> 800 samples
+
+
+def test_lazy_loader_single_construction(monkeypatch):
+    """Racing first requests must construct exactly one backend
+    (reference tests/test_asr_server.py:76-107)."""
+    asr_server.set_stt_backend(None)
+    constructed = []
+    release = threading.Event()
+
+    class SlowSTT:
+        def __init__(self, models_dir="./models"):
+            constructed.append(self)
+            release.wait(timeout=5)
+
+        def transcribe(self, audio, sr, language="auto"):
+            return "x"
+
+    monkeypatch.setattr(asr_server, "WhisperJaxSTT", SlowSTT)
+    results = []
+
+    def worker():
+        results.append(asr_server._load_stt())
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)
+    release.set()
+    for t in threads:
+        t.join(timeout=5)
+
+    assert len(constructed) == 1
+    assert all(r is results[0] for r in results)
+    asr_server.set_stt_backend(None)
+
+
+def test_inference_serialized(fake_backend):
+    """Concurrent _run_inference calls never overlap in the backend
+    (reference tests/test_asr_server.py:109-147)."""
+    fake_backend.delay = 0.1
+    audio = np.zeros(1600, np.float32)
+    threads = [threading.Thread(
+        target=asr_server._run_inference, args=(audio, 16000, "auto"))
+        for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=5)
+    assert len(fake_backend.calls) == 3
+    assert not fake_backend.overlapped
+
+
+# --- decoder numerics -----------------------------------------------------
+
+def _naive_decoder_logits(params, cfg, enc, tokens):
+    """Full (uncached) fp32 numpy decoder forward — independent check of
+    the KV-cache path."""
+    def ln(p, x, eps=cfg.layer_norm_eps):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * np.asarray(p["g"]) + np.asarray(p["b"])
+
+    def linear(p, x):
+        y = x @ np.asarray(p["w"], np.float32)
+        if p.get("b") is not None:
+            y = y + np.asarray(p["b"], np.float32)
+        return y
+
+    def gelu(x):
+        from scipy.stats import norm
+        return x * norm.cdf(x)
+
+    def attn(p, xq, xkv, causal):
+        H = cfg.num_heads
+        hd = cfg.d_model // H
+        B, Tq, D = xq.shape
+        Tk = xkv.shape[1]
+
+        def split(t):
+            return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+
+        q = split(linear(p["q"], xq) * hd ** -0.5)
+        k = split(linear(p["k"], xkv))
+        v = split(linear(p["v"], xkv))
+        s = np.einsum("bhqd,bhkd->bhqk", q, k)
+        if causal:
+            mask = np.triu(np.ones((Tq, Tk), bool), 1)
+            s = np.where(mask[None, None], -np.inf, s)
+        e = np.exp(s - s.max(-1, keepdims=True))
+        pr = e / e.sum(-1, keepdims=True)
+        o = np.einsum("bhqk,bhkd->bhqd", pr, v)
+        return linear(p["o"], o.transpose(0, 2, 1, 3).reshape(B, Tq, D))
+
+    x = np.asarray(params["tok_emb"], np.float32)[tokens] \
+        + np.asarray(params["pos_emb"], np.float32)[: len(tokens)]
+    x = x[None]
+    for lp in params["layers"]:
+        x = x + attn(lp["attn"], ln(lp["ln1"], x), ln(lp["ln1"], x), True)
+        x = x + attn(lp["xattn"], ln(lp["ln_x"], x), enc, False)
+        x = x + linear(lp["fc2"], gelu(linear(lp["fc1"], ln(lp["ln2"], x))))
+    x = ln(params["ln_post"], x)
+    return x[0] @ np.asarray(params["tok_emb"], np.float32).T
+
+
+def test_decoder_kv_cache_matches_naive():
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.models import whisper_decoder as wd
+
+    cfg = wd.WhisperDecoderConfig(
+        vocab_size=64, d_model=32, num_layers=2, num_heads=4, ffn=64,
+        max_target_positions=16, sot=60, eot=59, task_transcribe=61,
+        no_timestamps=62, lang_en=60, lang_zh=60)
+    params = wd.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 32), jnp.float32)
+    tokens = [60, 5, 9, 3]
+
+    cross_kv = wd.precompute_cross_kv(params, cfg, enc)
+    H, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+    caches = [(jnp.zeros((1, H, 8, hd), jnp.float32),
+               jnp.zeros((1, H, 8, hd), jnp.float32))
+              for _ in range(cfg.num_layers)]
+    logits = None
+    for i, t in enumerate(tokens):
+        logits, caches = wd.decode_step(
+            params, cfg, jnp.asarray([t], jnp.int32), jnp.int32(i),
+            caches, cross_kv)
+
+    want = _naive_decoder_logits(params, cfg, np.asarray(enc), tokens)[-1]
+    np.testing.assert_allclose(np.asarray(logits)[0], want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_greedy_decode_stops_at_eot_and_prefix_consistent():
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.models import whisper_decoder as wd
+
+    cfg = wd.WhisperDecoderConfig(
+        vocab_size=64, d_model=32, num_layers=2, num_heads=4, ffn=64,
+        max_target_positions=64, sot=60, eot=59, task_transcribe=61,
+        no_timestamps=62, lang_en=60, lang_zh=60)
+    params = wd.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    enc = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 32), jnp.float32)
+    prompt = jnp.asarray([[cfg.sot]], jnp.int32)
+
+    short = wd.make_greedy_decode(params, cfg, max_new=6, dtype=jnp.float32)
+    long = wd.make_greedy_decode(params, cfg, max_new=12, dtype=jnp.float32)
+    ts, ns = short(enc, prompt)
+    tl, nl = long(enc, prompt)
+    ts, tl = np.asarray(ts)[0], np.asarray(tl)[0]
+
+    # greedy is deterministic: short run is a prefix of the long run
+    np.testing.assert_array_equal(ts[:6], tl[:6])
+    # only text tokens (or EOT) are ever emitted
+    assert ((tl < cfg.eot) | (tl == cfg.eot)).all()
+    # after the first EOT everything stays EOT
+    eots = np.where(tl == cfg.eot)[0]
+    if len(eots):
+        assert (tl[eots[0]:] == cfg.eot).all()
+        assert int(nl[0]) == eots[0]
