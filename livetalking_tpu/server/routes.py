@@ -242,5 +242,9 @@ def setup_routes(app: web.Application, web_root: str = "web") -> None:
     except ImportError as e:
         logger.warning("avatar task routes unavailable: %s", e)
 
+    if not os.path.isdir(web_root):
+        # fall back to the repo-root web/ dir regardless of cwd
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        web_root = os.path.join(repo_root, "web")
     if os.path.isdir(web_root):
         app.router.add_static("/", path=web_root)
