@@ -128,6 +128,21 @@ class LipReal(BaseAvatar):
         else:
             self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])
 
+        # on-device composite: resize+blend+paste fused on TPU so only
+        # finished full frames cross to the host (ops/pallas_blend.py)
+        self._device_paste = None
+        if getattr(opt, "device_paste_back", False) and self._scheduler is None:
+            from livetalking_tpu.ops.pallas_blend import DevicePasteBack
+
+            dp = DevicePasteBack(
+                np.stack(self.frame_list_cycle), self.coord_list_cycle, IMG_SIZE
+            )
+            if dp.available:
+                self._device_paste = dp
+            else:
+                logger.warning(
+                    "device_paste_back: bbox bucket exceeds frame - host path")
+
         self.asr = MelFeatures(opt, self)
         self.asr.warm_up()
 
@@ -139,9 +154,17 @@ class LipReal(BaseAvatar):
         pred = self._step(
             self.model["params"], self.face_cycle_device, jnp.asarray(idxs), audiofeat_batch
         )
+        if self._device_paste is not None:
+            # crop stays on device through resize/blend/paste; this D2H copy
+            # is finished (B, H, W, 3) frames
+            return self._device_paste.paste_batch(pred, idxs)
         return np.asarray(pred)  # (B, 256, 256, 3) uint8
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
+        if self._device_paste is not None:
+            # already a full frame; copy the read-only device-buffer view so
+            # downstream watermark/encode can write in place
+            return np.array(pred_frame)
         y1, y2, x1, x2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()
         frame[y1:y2, x1:x2] = cv2.resize(pred_frame, (x2 - x1, y2 - y1))

@@ -29,7 +29,7 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
 
     # avatar model
     add("--model", type=str, default="wav2lip",
-        help="avatar model: musetalk/wav2lip/ultralight")
+        help="avatar model: musetalk/wav2lip/ultralight/ernerf")
     add("--avatar_id", type=str, default="wav2lip256_avatar1",
         help="avatar id in data/avatars")
     add("--batch_size", type=int, default=16, help="inference batch size")
@@ -67,6 +67,10 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
     add("--coalesce", action="store_true", default=False,
         help="coalesce concurrent sessions into one device batch per tick "
              "(engine/scheduler.py)")
+    add("--device_paste_back", action="store_true", default=False,
+        help="composite predicted crops into full frames on device "
+             "(ops/pallas_blend.py fused resize+blend+paste) instead of "
+             "per-frame host cv2")
     add("--mesh", type=str, default="",
         help="device mesh spec, e.g. 'dp=4,tp=2'; empty = single chip")
     add("--profile_dir", type=str, default="",
