@@ -120,6 +120,10 @@ def load_plugin_stack(options):
     elif opt.model == "ultralight":
         model = mod.load_model(opt)
         mod.warm_up(opt.batch_size, model, 160)
+    elif opt.model == "ernerf":
+        model = mod.load_model(opt)
+        mod.warm_up(opt.batch_size, model,
+                    int(getattr(opt, "ernerf_size", 128) or 128))
     global_avatars[opt.avatar_id] = _load_avatar(opt.avatar_id, opt.data_dir)
 
     session_manager.set_max_session(opt.max_session)

@@ -7,4 +7,5 @@ AVATAR_MODULES = {
     "wav2lip": "livetalking_tpu.avatars.wav2lip_avatar",
     "musetalk": "livetalking_tpu.avatars.musetalk_avatar",
     "ultralight": "livetalking_tpu.avatars.ultralight_avatar",
+    "ernerf": "livetalking_tpu.avatars.ernerf_avatar",
 }

@@ -211,3 +211,93 @@ def generate_ultralight_avatar(
     _report(progress_callback, 100, "done")
     logger.info("ultralight avatar %s built: %d frames", avatar_id, len(frames))
     return avatar_dir
+
+
+def generate_ernerf_avatar(
+    video_path: str,
+    avatar_id: str,
+    data_dir: str = "./data",
+    size: int = 64,
+    train_steps: int = 200,
+    batch: int = 4,
+    hubert_params=None,
+    hubert_cfg=None,
+    face_detector: Optional[FaceDetector] = None,
+    progress_callback: Progress = None,
+) -> str:
+    """Build an ernerf avatar: frames + coords + a per-avatar triplane
+    field fit photometrically to the clip, conditioned on its audio.
+
+    The reference snapshot ships no ernerf pipeline; format is ours
+    (avatars/ernerf_avatar.py load_avatar): ``full_imgs/ + coords.pkl
+    (y1, y2, x1, x2) + ernerf.npz``. Audio features use the same HuBERT
+    window geometry as the runtime extractor (multiplier 2, window
+    (4, 4)) so train/serve conditioning matches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.audio_features.base import clamp_window_indices
+    from livetalking_tpu.avatars.ernerf_avatar import AUDIO_DIM, save_avatar_field
+    from livetalking_tpu.models import ernerf
+    from livetalking_tpu.models import hubert as hub
+
+    avatar_dir = os.path.join(data_dir, "avatars", avatar_id)
+    detector = face_detector or FaceDetector()
+
+    _report(progress_callback, 5, "decoding frames")
+    frames = load_frames(video_path)
+    _report(progress_callback, 20, "detecting faces")
+    boxes = detect_track(frames, detector, pads=(0, 10, 0, 0))
+    _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)
+    _pickle(os.path.join(avatar_dir, "coords.pkl"),
+            [(y1, y2, x1, x2) for (x1, y1, x2, y2) in boxes])
+
+    n = len(frames)
+    _report(progress_callback, 35, "extracting audio features")
+    feats = np.zeros((n, AUDIO_DIM), np.float32)
+    if not os.path.isdir(video_path):
+        try:
+            from livetalking_tpu.utils.audio import decode_audio, resample
+
+            wav, sr = decode_audio(video_path)
+            wav = resample(wav, sr, 16000)
+            cfg = hubert_cfg or hub.LARGE
+            params = hubert_params or hub.init_params(jax.random.PRNGKey(0), cfg)
+            h = np.asarray(hub.apply(params, cfg, jnp.asarray(wav)[None, :])[0])
+            rows = clamp_window_indices(n, h.shape[0], (4, 4), start=0,
+                                        multiplier=2.0)
+            feats = h[rows].reshape(n, -1).astype(np.float32)
+            if feats.shape[1] != AUDIO_DIM:  # tiny configs in tests
+                pad = np.zeros((n, AUDIO_DIM), np.float32)
+                pad[:, : feats.shape[1]] = feats[:, :AUDIO_DIM]
+                feats = pad
+        except Exception as e:
+            logger.warning("ernerf: no usable audio track (%s) - "
+                           "zero conditioning", e)
+
+    _report(progress_callback, 45, "fitting triplane field")
+    crops = np.stack([
+        cv2.resize(f[y1:y2, x1:x2], (size, size)).astype(np.float32) / 255.0
+        for f, (x1, y1, x2, y2) in zip(frames, boxes)
+    ])
+    params = ernerf.init_params(jax.random.PRNGKey(0), audio_dim=AUDIO_DIM)
+    tx, step = ernerf.make_train_step(lr=2e-3, size=size, n_samples=16)
+    opt_state = tx.init(params)
+    bg = jnp.zeros((batch, size, size, 3), jnp.float32)
+    rng = np.random.default_rng(0)
+    for it in range(train_steps):
+        sel = rng.integers(0, n, (batch,))
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(feats[sel]), bg,
+            jnp.asarray(crops[sel]))
+        if it % max(1, train_steps // 10) == 0:
+            _report(progress_callback,
+                    45 + int(50 * it / train_steps),
+                    f"fit step {it}/{train_steps} loss={float(loss):.4f}")
+
+    save_avatar_field(params, avatar_dir)
+    _report(progress_callback, 100, "done")
+    logger.info("ernerf avatar %s built: %d frames, %d fit steps",
+                avatar_id, n, train_steps)
+    return avatar_dir

@@ -89,6 +89,7 @@ class TaskManager:
 
     def _run_task(self, task: AvatarTask) -> None:
         from livetalking_tpu.genavatar import (
+            generate_ernerf_avatar,
             generate_musetalk_avatar,
             generate_ultralight_avatar,
             generate_wav2lip_avatar,
@@ -114,6 +115,13 @@ class TaskManager:
                 generate_ultralight_avatar(
                     video_path, task.avatar_id, data_dir,
                     unet_checkpoint=task.params.get("unet_checkpoint"),
+                    progress_callback=progress,
+                )
+            elif model_kind == "ernerf":
+                generate_ernerf_avatar(
+                    video_path, task.avatar_id, data_dir,
+                    size=int(task.params.get("size", 64)),
+                    train_steps=int(task.params.get("train_steps", 200)),
                     progress_callback=progress,
                 )
             else:
