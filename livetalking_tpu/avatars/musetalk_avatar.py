@@ -177,6 +177,22 @@ class MuseReal(BaseAvatar):
 
         self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size, dtype=model["dtype"])
 
+        # on-device composite with the per-frame feathered parse masks
+        # (ops/pallas_blend.py MaskedDevicePasteBack)
+        self._device_paste = None
+        if getattr(opt, "device_paste_back", False):
+            from livetalking_tpu.ops.pallas_blend import MaskedDevicePasteBack
+
+            dp = MaskedDevicePasteBack(
+                np.stack(self.frame_list_cycle), self.coord_list_cycle,
+                self.mask_coords_list_cycle, self.mask_list_cycle, 256,
+            )
+            if dp.available:
+                self._device_paste = dp
+            else:
+                logger.warning(
+                    "device_paste_back: crop bucket exceeds frame - host path")
+
         self.asr = WhisperFeatures(
             opt, self,
             whisper_params=model["whisper_params"], whisper_cfg=model["whisper_cfg"],
@@ -189,9 +205,13 @@ class MuseReal(BaseAvatar):
             self.model["unet_params"], self.model["vae_params"],
             self.latent_cycle_device, idxs, audiofeat_batch,
         )
+        if self._device_paste is not None:
+            return self._device_paste.paste_batch(pred, np.asarray(idxs))
         return np.asarray(pred)  # (B, 256, 256, 3) uint8 BGR
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
+        if self._device_paste is not None:
+            return np.array(pred_frame)  # already a composited full frame
         x1, y1, x2, y2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()
         face = cv2.resize(pred_frame.astype(np.uint8), (x2 - x1, y2 - y1))

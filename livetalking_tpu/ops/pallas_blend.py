@@ -50,8 +50,10 @@ except ImportError:  # pallas unavailable: the XLA twin still works
 
 __all__ = [
     "make_resize_paste_fn",
+    "make_masked_paste_fn",
     "resize_paste_xla",
     "DevicePasteBack",
+    "MaskedDevicePasteBack",
     "bucket_shape",
 ]
 
@@ -133,6 +135,75 @@ def _blend_kernel(scal_ref, pred_ref, bg_ref, out_ref, *, S: int, Ho: int,
         t = jnp.dot(rv, pred_ref[0, c], preferred_element_type=jnp.float32)
         resized = jnp.dot(t, rh, preferred_element_type=jnp.float32)
         out_ref[0, c] = alpha * resized + (1.0 - alpha) * bg_ref[0, c]
+
+
+def _blend_kernel_input_mask(scal_ref, pred_ref, bg_ref, mask_ref, out_ref, *,
+                             S: int, Ho: int, Wo: int):
+    """Input-mask variant: alpha comes from a per-item precomputed mask
+    (e.g. MuseTalk's feathered face-parse mask, reference
+    avatars/musetalk/myutil.py:4-26) that is already zero outside the
+    bbox; geometry scalars only drive the resize matrices."""
+    b = pl.program_id(0)
+    h = scal_ref[b, 0]
+    w = scal_ref[b, 1]
+    dy = scal_ref[b, 2]
+    dx = scal_ref[b, 3]
+
+    pos_y, _ = _src_positions(Ho, h, dy, S)
+    pos_x, _ = _src_positions(Wo, w, dx, S)
+    rv = _interp_matrix(pos_y, S, (Ho, S), dst_axis=0)
+    rh = _interp_matrix(pos_x, S, (S, Wo), dst_axis=1)
+    alpha = mask_ref[0]
+
+    for c in range(3):
+        t = jnp.dot(rv, pred_ref[0, c], preferred_element_type=jnp.float32)
+        resized = jnp.dot(t, rh, preferred_element_type=jnp.float32)
+        out_ref[0, c] = alpha * resized + (1.0 - alpha) * bg_ref[0, c]
+
+
+def _blend_pallas_input_mask(scalars, pred_cf, bg_cf, alpha, *, S, Ho, Wo,
+                             interpret):
+    B = pred_cf.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, S, S), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Ho, Wo), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, Ho, Wo), lambda b, s: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_blend_kernel_input_mask, S=S, Ho=Ho, Wo=Wo)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, Ho, Wo), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * 3 * 2 * (Ho * S * S + Ho * Wo * S),
+            bytes_accessed=B * 4 * (3 * S * S + 7 * Ho * Wo),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, pred_cf, bg_cf, alpha)
+
+
+def _blend_xla_input_mask(scalars, pred_cf, bg_cf, alpha, *, S, Ho, Wo):
+    h, w, dy, dx = (scalars[:, i] for i in range(4))
+
+    def per_item(h, w, dy, dx, pred, bg, a):
+        pos_y, _ = _src_positions(Ho, h, dy, S)
+        pos_x, _ = _src_positions(Wo, w, dx, S)
+        rv = _interp_matrix(pos_y, S, (Ho, S), dst_axis=0)
+        rh = _interp_matrix(pos_x, S, (S, Wo), dst_axis=1)
+        resized = jnp.einsum("hs,csj,jw->chw", rv, pred, rh)
+        return a[None] * resized + (1.0 - a[None]) * bg
+
+    return jax.vmap(per_item)(h, w, dy, dx, pred_cf, bg_cf, alpha)
 
 
 def _blend_pallas(scalars, pred_cf, bg_cf, *, S, Ho, Wo, feather, interpret):
@@ -231,6 +302,51 @@ def make_resize_paste_fn(S: int, Ho: int, Wo: int, H: int, W: int,
     return jax.jit(step)
 
 
+def make_masked_paste_fn(S: int, Ho: int, Wo: int, H: int, W: int,
+                         use_pallas: Optional[bool] = None,
+                         interpret: bool = False):
+    """Masked-variant step for per-index precomputed alpha masks.
+
+    Returns ``fn(pred_u8 (B,S,S,3), frames_u8 (N,H,W,3), idxs (B,),
+    origins (N,2) i32, scalars (N,4) i32, masks_u8 (N,Ho,Wo))
+    -> (B,H,W,3) uint8``. ``origins`` are clamped paste origins (oy, ox);
+    ``scalars`` are (h, w, dy, dx) bbox geometry relative to the origin;
+    ``masks_u8`` must be zero outside the bbox.
+    """
+    if Ho > H or Wo > W:
+        raise ValueError(f"crop bucket ({Ho},{Wo}) exceeds frame ({H},{W})")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def step(pred_u8, frames_u8, idxs, origins, scalars, masks_u8):
+        picked = jnp.take(frames_u8, idxs, axis=0)
+        org = jnp.take(origins, idxs, axis=0)
+        scal = jnp.take(scalars, idxs, axis=0)
+        alpha = jnp.take(masks_u8, idxs, axis=0).astype(jnp.float32) / 255.0
+        oy, ox = org[:, 0], org[:, 1]
+
+        bg = jax.vmap(
+            lambda f, oy, ox: jax.lax.dynamic_slice(f, (oy, ox, 0), (Ho, Wo, 3))
+        )(picked, oy, ox)
+        bg_cf = bg.astype(jnp.float32).transpose(0, 3, 1, 2)
+        pred_cf = pred_u8.astype(jnp.float32).transpose(0, 3, 1, 2)
+
+        if use_pallas:
+            crop = _blend_pallas_input_mask(scal, pred_cf, bg_cf, alpha,
+                                            S=S, Ho=Ho, Wo=Wo,
+                                            interpret=interpret)
+        else:
+            crop = _blend_xla_input_mask(scal, pred_cf, bg_cf, alpha,
+                                         S=S, Ho=Ho, Wo=Wo)
+        crop_u8 = (jnp.clip(jnp.rint(crop), 0, 255)
+                   .astype(jnp.uint8).transpose(0, 2, 3, 1))
+        return jax.vmap(
+            lambda f, c, oy, ox: jax.lax.dynamic_update_slice(f, c, (oy, ox, 0))
+        )(picked, crop_u8, oy, ox)
+
+    return jax.jit(step)
+
+
 def resize_paste_xla(pred_u8, frames_u8, idxs, boxes, *, S, Ho, Wo, H, W,
                      feather=0):
     """Un-jitted pure-XLA twin (test oracle)."""
@@ -270,4 +386,62 @@ class DevicePasteBack:
         """(B,S,S,3) uint8 device/host crops + (B,) indices -> (B,H,W,3)."""
         out = self._fn(jnp.asarray(pred_u8), self.frames_dev,
                        jnp.asarray(idxs, dtype=jnp.int32), self.boxes_dev)
+        return np.asarray(out)
+
+
+class MaskedDevicePasteBack:
+    """MuseTalk-shaped device composite: per-cycle-index feathered
+    face-parse masks inside a larger crop box (reference
+    avatars/musetalk/myutil.py:4-26 + musetalk_avatar.py:154-164).
+
+    Precomputes, per cycle index, the clamped paste origin, the bbox
+    geometry scalars, and an (Ho, Wo) uint8 alpha buffer = parse mask
+    restricted to the bbox (outside the bbox the reference blend is a
+    no-op, so alpha is zeroed there). Everything is device-resident;
+    ``paste_batch`` gathers by index on device.
+    """
+
+    def __init__(self, frames: np.ndarray, face_boxes, crop_boxes, mask_imgs,
+                 S: int, use_pallas: Optional[bool] = None,
+                 interpret: bool = False):
+        import cv2
+
+        N, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+        self.Ho, self.Wo = bucket_shape(
+            [(ys, ye, xs, xe) for (xs, ys, xe, ye) in crop_boxes])
+        self.available = self.Ho <= H and self.Wo <= W
+        if not self.available:
+            return
+
+        origins = np.zeros((N, 2), np.int32)
+        scalars = np.zeros((N, 4), np.int32)
+        masks = np.zeros((N, self.Ho, self.Wo), np.uint8)
+        for i, ((x, y, x1, y1), (xs, ys, xe, ye), m) in enumerate(
+                zip(face_boxes, crop_boxes, mask_imgs)):
+            oy = int(np.clip(ys, 0, H - self.Ho))
+            ox = int(np.clip(xs, 0, W - self.Wo))
+            origins[i] = (oy, ox)
+            scalars[i] = (y1 - y, x1 - x, y - oy, x - ox)
+            g = m if m.ndim == 2 else cv2.cvtColor(m, cv2.COLOR_BGR2GRAY)
+            if g.shape != (ye - ys, xe - xs):
+                g = cv2.resize(g, (xe - xs, ye - ys))
+            buf = np.zeros((self.Ho, self.Wo), np.uint8)
+            buf[ys - oy:ye - oy, xs - ox:xe - ox] = g
+            # outside the bbox the reference blend is identity: zero alpha
+            keep = np.zeros_like(buf)
+            keep[y - oy:y1 - oy, x - ox:x1 - ox] = 1
+            masks[i] = buf * keep
+
+        self.frames_dev = jnp.asarray(frames.astype(np.uint8))
+        self.origins_dev = jnp.asarray(origins)
+        self.scalars_dev = jnp.asarray(scalars)
+        self.masks_dev = jnp.asarray(masks)
+        self._fn = make_masked_paste_fn(S, self.Ho, self.Wo, H, W,
+                                        use_pallas=use_pallas,
+                                        interpret=interpret)
+
+    def paste_batch(self, pred_u8, idxs: np.ndarray) -> np.ndarray:
+        out = self._fn(jnp.asarray(pred_u8), self.frames_dev,
+                       jnp.asarray(idxs, dtype=jnp.int32),
+                       self.origins_dev, self.scalars_dev, self.masks_dev)
         return np.asarray(out)

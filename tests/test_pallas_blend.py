@@ -122,6 +122,79 @@ def test_bucket_exceeding_frame_raises():
         pb.make_resize_paste_fn(S, 512, 512, 256, 256)
 
 
+def test_masked_paste_matches_musetalk_host_blend(tmp_path):
+    """MaskedDevicePasteBack (input-mask kernel variant) reproduces the
+    musetalk host blend (blend_face) on a synthetic masked avatar."""
+    import os
+
+    from livetalking_tpu.avatars.musetalk_avatar import blend_face, load_avatar
+    from livetalking_tpu.models import sd_vae
+    from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
+
+    import jax
+
+    vae_params = sd_vae.init_params(jax.random.PRNGKey(0))
+    make_synthetic_musetalk_avatar(
+        os.path.join(str(tmp_path), "avatars", "mk1"), vae_params, n_frames=4)
+    avatar = load_avatar("mk1", str(tmp_path))
+    frames = np.stack(avatar["frame_list_cycle"])
+    coords = avatar["coord_list_cycle"]            # (x1, y1, x2, y2)
+    mask_coords = avatar["mask_coords_list_cycle"]  # (xs, ys, xe, ye)
+    masks = avatar["mask_list_cycle"]
+
+    mp = pb.MaskedDevicePasteBack(frames, coords, mask_coords, masks, S,
+                                  use_pallas=False)
+    assert mp.available
+
+    pred = RNG.integers(0, 256, (2, S, S, 3), dtype=np.uint8)
+    idxs = np.asarray([0, 2], np.int32)
+    out = mp.paste_batch(pred, idxs)
+
+    for b, idx in enumerate(idxs):
+        x1, y1, x2, y2 = coords[idx]
+        face = cv2.resize(pred[b], (x2 - x1, y2 - y1),
+                          interpolation=cv2.INTER_LINEAR)
+        ref = blend_face(frames[idx].copy(), face, (x1, y1, x2, y2),
+                         masks[idx], mask_coords[idx])
+        diff = np.abs(out[b].astype(np.int32) - ref.astype(np.int32))
+        # resize fixed-point + blend rounding: tight but not bit-exact
+        assert diff.max() <= 3, diff.max()
+        assert float(diff.mean()) < 0.2
+        # outside the crop box the frame must be untouched
+        xs, ys, xe, ye = mask_coords[idx]
+        m = np.ones(frames[idx].shape[:2], bool)
+        m[ys:ye, xs:xe] = False
+        assert np.array_equal(out[b][m], frames[idx][m])
+
+
+def test_masked_paste_pallas_interpret_matches_xla(tmp_path):
+    import os
+
+    from livetalking_tpu.avatars.musetalk_avatar import load_avatar
+    from livetalking_tpu.models import sd_vae
+    from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
+
+    import jax
+
+    vae_params = sd_vae.init_params(jax.random.PRNGKey(0))
+    make_synthetic_musetalk_avatar(
+        os.path.join(str(tmp_path), "avatars", "mk2"), vae_params, n_frames=3)
+    avatar = load_avatar("mk2", str(tmp_path))
+    frames = np.stack(avatar["frame_list_cycle"])
+
+    kw = dict(face_boxes=avatar["coord_list_cycle"],
+              crop_boxes=avatar["mask_coords_list_cycle"],
+              mask_imgs=avatar["mask_list_cycle"], S=S)
+    mk = pb.MaskedDevicePasteBack(frames, use_pallas=True, interpret=True, **kw)
+    mx = pb.MaskedDevicePasteBack(frames, use_pallas=False, **kw)
+
+    pred = RNG.integers(0, 256, (2, S, S, 3), dtype=np.uint8)
+    idxs = np.asarray([1, 2], np.int32)
+    a = mk.paste_batch(pred, idxs).astype(np.int32)
+    b = mx.paste_batch(pred, idxs).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+
+
 def test_engine_pipeline_with_device_paste_back(tmp_path):
     """Full per-session pipeline with --device_paste_back: speech frames
     come out as finished full frames from the device composite path."""
