@@ -175,6 +175,14 @@ def main() -> None:
     logger.info(options)
     load_plugin_stack(options)
 
+    if getattr(opt, "profile_dir", ""):
+        # device-side tracing (SURVEY §5: the reference has only manual fps
+        # counters; we add jax.profiler on top of the same log shapes)
+        import jax
+
+        jax.profiler.start_trace(opt.profile_dir)
+        logger.info("jax.profiler tracing to %s", opt.profile_dir)
+
     if opt.transport in ("virtualcam", "rtmp", "queue", "null"):
         # boot-time session 0 with a background render thread
         session_manager.add_session("0", build_avatar_session("0", {}))

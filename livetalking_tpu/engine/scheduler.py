@@ -146,7 +146,9 @@ class BatchScheduler:
                 break
         return reqs
 
-    def _run_batch(self, reqs: List[_Request]) -> None:
+    def _dispatch(self, reqs: List[_Request]):
+        """Launch one padded super-batch on the device WITHOUT blocking
+        (JAX dispatch is async); returns the device result handle."""
         import jax.numpy as jnp
 
         k = len(reqs)
@@ -162,29 +164,50 @@ class BatchScheduler:
         if pad:
             mels.append(jnp.zeros((pad * B,) + mels[0].shape[1:], jnp.float32))
         mel = jnp.concatenate(mels, axis=0).astype(jnp.float32)
+        return self._steps[bucket](self.params, self.store.buffer, jnp.asarray(idxs), mel)
 
-        frames = np.asarray(
-            self._steps[bucket](self.params, self.store.buffer, jnp.asarray(idxs), mel)
-        )
+    def _resolve(self, dev_frames, reqs: List[_Request]) -> None:
+        """Block on D2H and scatter frames to per-session futures."""
+        B = self.batch_size
+        frames = np.asarray(dev_frames)
         for i, r in enumerate(reqs):
             r.future.set_result(frames[i * B : (i + 1) * B])
-
-        self.requests_run += k
+        self.requests_run += len(reqs)
         self.batches_run += 1
-        self.frames_run += k * B
+        self.frames_run += len(reqs) * B
 
     def _run(self) -> None:
+        """Double-buffered loop (SURVEY §2.10(c)): dispatch super-batch N+1
+        before blocking on batch N's D2H, so transfer + host scatter overlap
+        with the next device step."""
         logger.info("batch scheduler start (buckets=%s, B=%d)", self.buckets, self.batch_size)
+        pending: Optional[Tuple[object, List[_Request]]] = None
         while not self._quit.is_set():
-            reqs = self._drain()
-            if not reqs:
-                continue
+            # short drain window while a batch is in flight: resolve promptly
+            reqs = self._drain(timeout=0.002 if pending else 0.5)
+            nxt = None
+            if reqs:
+                try:
+                    nxt = (self._dispatch(reqs), reqs)
+                except Exception as e:
+                    logger.exception("batch scheduler dispatch failed")
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+            if pending is not None:
+                dev, preqs = pending
+                try:
+                    self._resolve(dev, preqs)
+                except Exception as e:
+                    logger.exception("batch scheduler resolve failed")
+                    for r in preqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+            pending = nxt
+        if pending is not None:  # drain the in-flight batch on shutdown
             try:
-                self._run_batch(reqs)
-            except Exception as e:  # propagate to waiters instead of dying
-                logger.exception("batch scheduler step failed")
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                self._resolve(*pending)
+            except Exception:
+                pass
         logger.info("batch scheduler stop (batches=%d requests=%d frames=%d)",
                     self.batches_run, self.requests_run, self.frames_run)
