@@ -55,6 +55,40 @@ def make_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, ctx_len: int = 
     return step
 
 
+def make_sharded_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, mesh,
+                          ctx_len: int = 50, dtype=jnp.bfloat16):
+    """Multi-chip inference step (SURVEY §2.10(b)): batch over ``dp``,
+    U-Net/VAE conv channels over ``tp`` — XLA inserts the ICI collectives.
+
+    Params must be pre-placed with ``parallel.mesh.shard_params(params,
+    mesh)``; the step pins the latent cycle replicated and idxs/whisper/
+    output batch-sharded so per-chip latency drops with tp and throughput
+    scales with dp. ``batch_size`` must divide the dp axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from livetalking_tpu.parallel.mesh import DP_AXIS
+
+    if batch_size % mesh.shape.get(DP_AXIS, 1):
+        raise ValueError(
+            f"batch {batch_size} not divisible by dp={mesh.shape.get(DP_AXIS, 1)}")
+    pe = jnp.asarray(positional_encoding_table(ctx_len, unet_cfg.cross_dim))
+    rep = NamedSharding(mesh, P())
+    dpb = NamedSharding(mesh, P(DP_AXIS))
+
+    def step(unet_params, vae_params, latent_cycle, idxs, whisper):
+        lat = jnp.take(latent_cycle, idxs, axis=0).astype(dtype)
+        ctx = (whisper + pe).astype(dtype)
+        t = jnp.zeros((whisper.shape[0],), jnp.float32)
+        pred = sd_unet.apply(unet_params, unet_cfg, lat, t, ctx)
+        img = sd_vae.decode(vae_params, pred.astype(dtype))
+        u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+        return u8[..., ::-1]
+
+    return jax.jit(step, in_shardings=(None, None, rep, dpb, dpb),
+                   out_shardings=dpb)
+
+
 def encode_avatar_latents(vae_params, faces_bgr: np.ndarray, batch: int = 8) -> np.ndarray:
     """Precompute the per-frame (32, 32, 8) U-Net input latents for an
     avatar: cat(masked-half latents, reference latents) — the offline path
