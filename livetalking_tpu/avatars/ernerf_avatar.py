@@ -61,7 +61,9 @@ def load_model(opt=None) -> Dict[str, Any]:
         size = getattr(opt, "hubert_size", "large")
         cfg = TINY_HUBERT if size == "tiny" else hub.LARGE
         logger.warning("HuBERT weights not found at %s - random init (%s)", hdir, size)
-        params = hub.init_params(jax.random.PRNGKey(0), cfg, dtype)
+        from livetalking_tpu.utils.jaxinit import jit_init
+
+        params = jit_init(hub.init_params, jax.random.PRNGKey(0), cfg, dtype)
     return {"hubert_params": params, "hubert_cfg": cfg, "dtype": dtype}
 
 

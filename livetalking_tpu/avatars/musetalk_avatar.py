@@ -29,6 +29,7 @@ from livetalking_tpu.models import musetalk as mt
 from livetalking_tpu.models import sd_unet, sd_vae
 from livetalking_tpu.models import whisper_encoder as we
 from livetalking_tpu.registry import register
+from livetalking_tpu.utils.jaxinit import jit_init
 from livetalking_tpu.utils.image import mirror_indices, read_imgs
 from livetalking_tpu.utils.logger import logger
 
@@ -50,7 +51,7 @@ def load_model(opt=None) -> Dict[str, Any]:
         whisper_params = we.convert_torch_state_dict(tmodel.state_dict(), we.TINY, dtype)
     else:
         logger.warning("whisper weights not found at %s - random init", wdir)
-        whisper_params = we.init_params(jax.random.PRNGKey(0), we.TINY, dtype)
+        whisper_params = jit_init(we.init_params, jax.random.PRNGKey(0), we.TINY, dtype)
 
     # VAE (sd-vae-ft-mse)
     vdir = os.path.join(models_dir, "sd-vae-ft-mse")
@@ -60,7 +61,7 @@ def load_model(opt=None) -> Dict[str, Any]:
         vae_params = sd_vae.convert_torch_state_dict(vae_sd, dtype)
     else:
         logger.warning("VAE weights not found at %s - random init", vdir)
-        vae_params = sd_vae.init_params(jax.random.PRNGKey(1), dtype)
+        vae_params = jit_init(sd_vae.init_params, jax.random.PRNGKey(1), dtype)
 
     # latent U-Net
     upath = os.path.join(models_dir, "musetalkV15", "unet.pth")
@@ -77,7 +78,7 @@ def load_model(opt=None) -> Dict[str, Any]:
         size = getattr(opt, "musetalk_size", "full")
         unet_cfg = TINY_UNET if size == "tiny" else sd_unet.MUSETALK
         logger.warning("musetalk unet not found at %s - random init (%s)", upath, size)
-        unet_params = sd_unet.init_params(jax.random.PRNGKey(2), unet_cfg, dtype)
+        unet_params = jit_init(sd_unet.init_params, jax.random.PRNGKey(2), unet_cfg, dtype)
 
     return {
         "whisper_params": whisper_params, "whisper_cfg": we.TINY,

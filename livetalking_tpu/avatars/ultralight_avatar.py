@@ -60,7 +60,9 @@ def load_model(opt=None) -> Dict[str, Any]:
         size = getattr(opt, "hubert_size", "large")
         cfg = TINY_HUBERT if size == "tiny" else hub.LARGE
         logger.warning("HuBERT weights not found at %s - random init (%s)", hdir, size)
-        params = hub.init_params(jax.random.PRNGKey(0), cfg, dtype)
+        from livetalking_tpu.utils.jaxinit import jit_init
+
+        params = jit_init(hub.init_params, jax.random.PRNGKey(0), cfg, dtype)
     return {"hubert_params": params, "hubert_cfg": cfg, "dtype": dtype}
 
 
@@ -86,7 +88,9 @@ def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
         unet_params = ul.load_torch_checkpoint(unet_path, jnp.bfloat16)
     else:
         logger.warning("%s not found - random U-Net init", unet_path)
-        unet_params = ul.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
+        from livetalking_tpu.utils.jaxinit import jit_init
+
+        unet_params = jit_init(ul.init_params, jax.random.PRNGKey(1), jnp.bfloat16)
 
     return {
         "avatar_id": avatar_id,

@@ -69,7 +69,9 @@ def load_model(path: str, opt=None) -> Dict[str, Any]:
         params = w2l.load_torch_checkpoint(path, dtype)
     else:
         logger.warning("wav2lip checkpoint %s not found - using random init", path)
-        params = w2l.init_params(jax.random.PRNGKey(0), dtype)
+        from livetalking_tpu.utils.jaxinit import jit_init
+
+        params = jit_init(w2l.init_params, jax.random.PRNGKey(0), dtype)
     return {"params": params, "dtype": dtype}
 
 
