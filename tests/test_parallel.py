@@ -82,7 +82,7 @@ def test_sharded_musetalk_infer_matches_single_device():
 
     B = 4
     rng = np.random.default_rng(0)
-    cycle = jnp.asarray(rng.standard_normal((4, 32, 32, 8)).astype(np.float32))
+    cycle = jnp.asarray(rng.standard_normal((4, 16, 16, 8)).astype(np.float32))  # 128px decode: 4x cheaper on the 1-core CI host
     idxs = jnp.asarray(np.arange(B, dtype=np.int32) % 4)
     whisper = jnp.asarray(rng.standard_normal((B, 50, 384)).astype(np.float32))
 

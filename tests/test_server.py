@@ -15,7 +15,15 @@ from livetalking_tpu.config import default_opt
 from livetalking_tpu.server.session_manager import session_manager
 from livetalking_tpu.utils.synthetic import make_synthetic_avatar
 
-PORT = 18443
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+PORT = _free_port()  # unique per process: safe under pytest-xdist
 
 
 @pytest.fixture(scope="module")
