@@ -112,6 +112,49 @@ def _feathered_mask(box: Tuple[int, int, int, int], crop_box, blur: int) -> np.n
     return cv2.GaussianBlur(mask, (k, k), 0)
 
 
+def _load_face_parser(models_dir: str = "./models"):
+    """Load the BiSeNet face parser when its checkpoint exists
+    (models/bisenet.py, the reference face_parsing stack) — returns a
+    ``(face_bgr_512) -> class_map`` callable or None."""
+    import glob as _glob
+
+    cands = (_glob.glob(os.path.join(models_dir, "face-parse*.pth"))
+             + _glob.glob(os.path.join(models_dir, "79999_iter.pth")))
+    if not cands:
+        return None
+    try:
+        import torch
+
+        from livetalking_tpu.models import bisenet
+
+        sd = torch.load(cands[0], map_location="cpu", weights_only=False)
+        params = bisenet.convert_torch_state_dict(sd)
+        fn = bisenet.make_parse_fn(512)
+        logger.info("face parser loaded from %s", cands[0])
+        return lambda face_bgr: np.asarray(fn(params, face_bgr[None]))[0]
+    except Exception as e:
+        logger.warning("face parser unavailable (%s) - geometric masks", e)
+        return None
+
+
+def _parsed_mask(parse, frame: np.ndarray, box, crop_box, blur: int) -> np.ndarray:
+    """BiSeNet path of the reference mask build (blending.py:112-136):
+    parse the face crop, keep the mouth region, Gaussian-feather."""
+    from livetalking_tpu.models.bisenet import mouth_mask
+
+    x1, y1, x2, y2 = box
+    xs, ys, xe, ye = crop_box
+    face = cv2.resize(frame[y1:y2, x1:x2], (512, 512))
+    classes = parse(face.astype(np.uint8))
+    m = cv2.resize(mouth_mask(classes), (x2 - x1, y2 - y1),
+                   interpolation=cv2.INTER_NEAREST)
+    full = np.zeros((ye - ys, xe - xs), np.uint8)
+    full[y1 - ys:y2 - ys, x1 - xs:x2 - xs] = m
+    k = blur | 1
+    full = cv2.GaussianBlur(full, (k, k), 0)
+    return cv2.cvtColor(full, cv2.COLOR_GRAY2BGR)
+
+
 def generate_musetalk_avatar(
     video_path: str,
     avatar_id: str,
@@ -149,13 +192,17 @@ def generate_musetalk_avatar(
     _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)
     mask_dir = os.path.join(avatar_dir, "mask")
     os.makedirs(mask_dir, exist_ok=True)
+    parse = _load_face_parser()
     mask_coords = []
     for i, (x1, y1, x2, y2) in enumerate(boxes):
         mx, my = (x2 - x1) // 10, (y2 - y1) // 10
         crop_box = (max(0, x1 - mx), max(0, y1 - my), min(W, x2 + mx), min(H, y2 + my))
         blur = max(5, (x2 - x1) // 12)
-        cv2.imwrite(os.path.join(mask_dir, f"{i}.png"),
-                    _feathered_mask((x1, y1, x2, y2), crop_box, blur))
+        if parse is not None:
+            mask = _parsed_mask(parse, frames[i], (x1, y1, x2, y2), crop_box, blur)
+        else:
+            mask = _feathered_mask((x1, y1, x2, y2), crop_box, blur)
+        cv2.imwrite(os.path.join(mask_dir, f"{i}.png"), mask)
         mask_coords.append(crop_box)
 
     import torch
