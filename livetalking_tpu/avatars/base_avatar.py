@@ -382,6 +382,10 @@ class BaseAvatar:
                     logger.warning("paste_back_frame error: %s", e)
                     continue
 
+            # device-buffer views may be read-only or non-C-contiguous
+            # (backend-dependent); cv2 needs a writable C-order Mat
+            if not (frame.flags.c_contiguous and frame.flags.writeable):
+                frame = np.array(frame, order="C", copy=True)
             cv2.putText(frame, WATERMARK, (10, 20), cv2.FONT_HERSHEY_SIMPLEX,
                         0.3, (128, 128, 128), 1)
 

@@ -212,7 +212,7 @@ class MuseReal(BaseAvatar):
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
         if self._device_paste is not None:
-            return np.array(pred_frame)  # already a composited full frame
+            return pred_frame  # already a composited full frame (engine normalizes layout)
         x1, y1, x2, y2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()
         face = cv2.resize(pred_frame.astype(np.uint8), (x2 - x1, y2 - y1))

@@ -164,9 +164,7 @@ class LipReal(BaseAvatar):
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
         if self._device_paste is not None:
-            # already a full frame; copy the read-only device-buffer view so
-            # downstream watermark/encode can write in place
-            return np.array(pred_frame)
+            return pred_frame  # already a full frame (engine normalizes layout)
         y1, y2, x1, x2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()
         frame[y1:y2, x1:x2] = cv2.resize(pred_frame, (x2 - x1, y2 - y1))
