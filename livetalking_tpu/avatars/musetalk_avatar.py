@@ -176,7 +176,18 @@ class MuseReal(BaseAvatar):
         self.latent_cycle_device = avatar["latent_cycle_device"]
         self._n_frames = int(self.latent_cycle_device.shape[0])
 
-        self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size, dtype=model["dtype"])
+        self._vae_params = model["vae_params"]
+        use_int8 = bool(getattr(opt, "vae_int8", False))
+        if use_int8:
+            if "vae_params_q" not in model:  # shared across sessions
+                q = sd_vae.quantize_decoder(model["vae_params"])
+                zc = jnp.asarray(self.latent_cycle_device[:4, :, :, :4])
+                model["vae_params_q"] = sd_vae.calibrate_decoder(
+                    model["vae_params"], q, zc)
+                logger.info("musetalk: int8 VAE decoder calibrated")
+            self._vae_params = model["vae_params_q"]
+        self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size,
+                                      dtype=model["dtype"], vae_int8=use_int8)
 
         # on-device composite with the per-frame feathered parse masks
         # (ops/pallas_blend.py MaskedDevicePasteBack)
@@ -203,7 +214,7 @@ class MuseReal(BaseAvatar):
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
         idxs = jnp.asarray(mirror_indices(self._n_frames, index, self.batch_size))
         pred = self._step(
-            self.model["unet_params"], self.model["vae_params"],
+            self.model["unet_params"], self._vae_params,
             self.latent_cycle_device, idxs, audiofeat_batch,
         )
         if self._device_paste is not None:

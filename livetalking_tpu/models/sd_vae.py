@@ -77,6 +77,137 @@ def decode(params: Params, z: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# int8 decoder (W8A8 dynamic) — the VAE decode is the MuseTalk hot spot
+# (~70% of step time, compute-bound at ~1 TFLOP/image); int8 MXU runs
+# 2.8x faster than bf16 on v5e (measured 3x3/256ch/128px conv probe)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_conv(p: Params) -> Params:
+    """Per-output-channel symmetric int8 weight quantization."""
+    w = np.asarray(p["w"], np.float32)
+    scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+    wq = np.clip(np.round(w / scale[None, None, None, :]), -127, 127)
+    return {"wq": jnp.asarray(wq, jnp.int8),
+            "ws": jnp.asarray(scale, jnp.float32),
+            "b": jnp.asarray(np.asarray(p["b"], np.float32))}
+
+
+def _conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
+    """int8 conv; activation scale is a calibrated static scalar when
+    present (``as`` — lets XLA fuse the quantize into the preceding
+    elementwise ops; a dynamic abs-max reduction would cost an extra full
+    pass over the tensor), else computed dynamically. Accumulate int32 on
+    the MXU, dequantize + bias in f32."""
+    if "as" in pq:
+        sx = pq["as"]
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, pq["wq"], (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * pq["ws"]) + pq["b"]
+    return y.astype(x.dtype)
+
+
+def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    h = _conv_q(p["conv1"], silu(group_norm(p["norm1"], x, eps=eps)))
+    h = _conv_q(p["conv2"], silu(group_norm(p["norm2"], h, eps=eps)))
+    if "conv_shortcut" in p:
+        x = _conv_q(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def quantize_decoder(params: Params) -> Params:
+    """One-time conversion of the decoder convs to int8 (norms, attention,
+    and the tiny latent-side convs stay bf16/f32)."""
+    def q_resnet(rp):
+        out = {"norm1": rp["norm1"], "norm2": rp["norm2"],
+               "conv1": _quantize_conv(rp["conv1"]),
+               "conv2": _quantize_conv(rp["conv2"])}
+        if "conv_shortcut" in rp:
+            out["conv_shortcut"] = _quantize_conv(rp["conv_shortcut"])
+        return out
+
+    q: Params = {
+        "post_quant_conv": params["post_quant_conv"],
+        "dec_conv_in": params["dec_conv_in"],
+        "dec_mid": params["dec_mid"],
+        "dec_norm_out": params["dec_norm_out"],
+        "dec_conv_out": _quantize_conv(params["dec_conv_out"]),
+        "dec_up": [],
+    }
+    for blk in params["dec_up"]:
+        qblk: Params = {"resnets": [q_resnet(rp) for rp in blk["resnets"]]}
+        if "up" in blk:
+            qblk["up"] = _quantize_conv(blk["up"])
+        q["dec_up"].append(qblk)
+    return q
+
+
+def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
+                      headroom: float = 1.25) -> Params:
+    """One-time activation-scale calibration: walk the full-precision
+    decoder on representative latents and store per-site static scales
+    (abs-max * headroom / 127) into the quantized tree. Mirrors
+    ``decode``'s graph exactly."""
+    def scale_of(x):
+        return jnp.asarray(
+            float(jnp.max(jnp.abs(x.astype(jnp.float32)))) * headroom / 127.0
+            + 1e-8, jnp.float32)
+
+    def cal_resnet(rp, rq, x, eps=1e-6):
+        a1 = silu(group_norm(rp["norm1"], x, eps=eps))
+        rq["conv1"]["as"] = scale_of(a1)
+        h = conv(rp["conv1"], a1)
+        a2 = silu(group_norm(rp["norm2"], h, eps=eps))
+        rq["conv2"]["as"] = scale_of(a2)
+        h = conv(rp["conv2"], a2)
+        if "conv_shortcut" in rp:
+            rq["conv_shortcut"]["as"] = scale_of(x)
+            x = conv(rp["conv_shortcut"], x, padding=0)
+        return x + h
+
+    zz = z / SCALING_FACTOR
+    h = conv(params["post_quant_conv"], zz, padding=0)
+    h = conv(params["dec_conv_in"], h)
+    h = resnet_block(params["dec_mid"]["r0"], h)
+    h = spatial_attention(params["dec_mid"]["attn"], h)
+    h = resnet_block(params["dec_mid"]["r1"], h)
+    for blk, blkq in zip(params["dec_up"], params_q["dec_up"]):
+        for rp, rq in zip(blk["resnets"], blkq["resnets"]):
+            h = cal_resnet(rp, rq, h)
+        if "up" in blk:
+            up = upsample_nearest2x(h)
+            blkq["up"]["as"] = scale_of(up)
+            h = conv(blk["up"], up)
+    a_out = silu(group_norm(params["dec_norm_out"], h))
+    params_q["dec_conv_out"]["as"] = scale_of(a_out)
+    return params_q
+
+
+def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
+    """int8 twin of ``decode``; same contract, quantized up-blocks."""
+    z = z / SCALING_FACTOR
+    h = conv(params_q["post_quant_conv"], z, padding=0)
+    h = conv(params_q["dec_conv_in"], h)
+    h = resnet_block(params_q["dec_mid"]["r0"], h)
+    h = spatial_attention(params_q["dec_mid"]["attn"], h)
+    h = resnet_block(params_q["dec_mid"]["r1"], h)
+    for blk in params_q["dec_up"]:
+        for rp in blk["resnets"]:
+            h = _resnet_block_q(rp, h)
+        if "up" in blk:
+            h = _conv_q(blk["up"], upsample_nearest2x(h))
+    h = _conv_q(params_q["dec_conv_out"], silu(group_norm(params_q["dec_norm_out"], h)))
+    return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
 # init (random, for tests/benches without weights)
 # ---------------------------------------------------------------------------
 

@@ -184,3 +184,50 @@ def test_musetalk_fused_step():
                jnp.zeros((2, 50, 384), jnp.float32))
     assert out.shape == (2, 256, 256, 3)
     assert out.dtype == jnp.uint8
+
+
+def test_vae_int8_decoder_close_to_fp():
+    """W8A8 decoder (sd_vae.decode_int8 + calibrate_decoder) tracks the
+    full-precision decoder within quantization tolerance."""
+    import numpy as np
+
+    from livetalking_tpu.models import sd_vae
+
+    vp = sd_vae.init_params(jax.random.PRNGKey(3), dtype=jnp.float32)
+    vq = sd_vae.quantize_decoder(vp)
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32)) \
+        * sd_vae.SCALING_FACTOR
+    vq = sd_vae.calibrate_decoder(vp, vq, z)
+
+    a = np.asarray(sd_vae.decode(vp, z))
+    b = np.asarray(sd_vae.decode_int8(vq, z))
+    assert b.shape == a.shape == (2, 64, 64, 3)
+    err = np.abs(a - b)
+    assert float(err.mean()) < 0.03, err.mean()
+    assert float(np.quantile(err, 0.99)) < 0.15
+
+
+def test_vae_int8_infer_fn_path():
+    """make_infer_fn(vae_int8=True) runs the quantized decoder end to end."""
+    import numpy as np
+
+    from livetalking_tpu.models import musetalk as mt
+    from livetalking_tpu.models import sd_unet, sd_vae
+
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    up = sd_unet.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    vp = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+    vq = sd_vae.quantize_decoder(vp)
+    rng = np.random.default_rng(1)
+    zc = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    vq = sd_vae.calibrate_decoder(vp, vq, zc * sd_vae.SCALING_FACTOR)
+
+    B = 2
+    cycle = jnp.asarray(rng.standard_normal((3, 8, 8, 8)).astype(np.float32))
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    whisper = jnp.asarray(rng.standard_normal((B, 50, 384)).astype(np.float32))
+    step = mt.make_infer_fn(cfg, B, dtype=jnp.float32, vae_int8=True)
+    out = step(up, vq, cycle, idxs, whisper)
+    assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
