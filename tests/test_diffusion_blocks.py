@@ -197,13 +197,13 @@ def test_vae_int8_decoder_close_to_fp():
     vq = sd_vae.quantize_decoder(vp)
 
     rng = np.random.default_rng(0)
-    z = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32)) \
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32)) \
         * sd_vae.SCALING_FACTOR
     vq = sd_vae.calibrate_decoder(vp, vq, z)
 
-    a = np.asarray(sd_vae.decode(vp, z))
-    b = np.asarray(sd_vae.decode_int8(vq, z))
-    assert b.shape == a.shape == (2, 64, 64, 3)
+    a = np.asarray(jax.jit(sd_vae.decode)(vp, z))
+    b = np.asarray(jax.jit(sd_vae.decode_int8)(vq, z))
+    assert b.shape == a.shape == (1, 32, 32, 3)
     err = np.abs(a - b)
     assert float(err.mean()) < 0.03, err.mean()
     assert float(np.quantile(err, 0.99)) < 0.15
@@ -221,7 +221,7 @@ def test_vae_int8_infer_fn_path():
     vp = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
     vq = sd_vae.quantize_decoder(vp)
     rng = np.random.default_rng(1)
-    zc = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    zc = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
     vq = sd_vae.calibrate_decoder(vp, vq, zc * sd_vae.SCALING_FACTOR)
 
     B = 2
