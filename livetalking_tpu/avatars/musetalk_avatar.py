@@ -35,6 +35,43 @@ from livetalking_tpu.utils.logger import logger
 
 TINY_UNET = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=4)
 
+# cross-session batching (SURVEY §2.10(a)): one shared device worker per
+# process, packing every avatar's latent cycle into one store
+import threading as _threading
+
+_shared_lock = _threading.Lock()
+_shared: dict = {"store": None, "scheduler": None}
+
+
+def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
+                         vae_params, vae_int8: bool,
+                         buckets=(1, 2, 4, 8)) -> tuple:
+    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
+
+    with _shared_lock:
+        if _shared["scheduler"] is None:
+            store = AvatarStore(item_shape=(32, 32, 8), dtype=np.float32)
+
+            def step_factory(n):
+                step = mt.make_infer_fn(model["unet_cfg"], n,
+                                        dtype=model["dtype"], vae_int8=vae_int8)
+
+                def wrapped(params, buffer, idxs, whisper):
+                    return step(params[0], params[1], buffer, idxs, whisper)
+                return wrapped
+
+            sched = BatchScheduler((model["unet_params"], vae_params), store,
+                                   step_factory, batch_size, buckets=buckets)
+            sched.start()
+            _shared["store"] = store
+            _shared["scheduler"] = sched
+        return _shared["store"], _shared["scheduler"]
+
+
+def _parse_buckets(opt) -> tuple:
+    spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
+    return tuple(int(v) for v in spec.split(",") if v.strip())
+
 
 def load_model(opt=None) -> Dict[str, Any]:
     """Load whisper encoder + VAE + latent U-Net (shared across sessions)."""
@@ -186,8 +223,18 @@ class MuseReal(BaseAvatar):
                     model["vae_params"], q, zc)
                 logger.info("musetalk: int8 VAE decoder calibrated")
             self._vae_params = model["vae_params_q"]
-        self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size,
-                                      dtype=model["dtype"], vae_int8=use_int8)
+
+        self._scheduler = None
+        self._store_offset = 0
+        if getattr(opt, "coalesce", False):
+            store, self._scheduler = get_shared_scheduler(
+                model, self.batch_size, self._vae_params, use_int8,
+                buckets=_parse_buckets(opt))
+            self._store_offset, _ = store.add(
+                avatar["avatar_id"], avatar["latent_cycle_host"])
+        else:
+            self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size,
+                                          dtype=model["dtype"], vae_int8=use_int8)
 
         # on-device composite with the per-frame feathered parse masks
         # (ops/pallas_blend.py MaskedDevicePasteBack)
@@ -212,13 +259,19 @@ class MuseReal(BaseAvatar):
         self.asr.warm_up()
 
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
-        idxs = jnp.asarray(mirror_indices(self._n_frames, index, self.batch_size))
-        pred = self._step(
-            self.model["unet_params"], self._vae_params,
-            self.latent_cycle_device, idxs, audiofeat_batch,
-        )
+        host_idxs = mirror_indices(self._n_frames, index, self.batch_size)
+        if self._scheduler is not None:
+            # cross-session batching: one shared device worker per process
+            pred = self._scheduler.infer(host_idxs + self._store_offset,
+                                         audiofeat_batch)
+        else:
+            idxs = jnp.asarray(host_idxs)
+            pred = self._step(
+                self.model["unet_params"], self._vae_params,
+                self.latent_cycle_device, idxs, audiofeat_batch,
+            )
         if self._device_paste is not None:
-            return self._device_paste.paste_batch(pred, np.asarray(idxs))
+            return self._device_paste.paste_batch(pred, host_idxs)
         return np.asarray(pred)  # (B, 256, 256, 3) uint8 BGR
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:

@@ -43,7 +43,8 @@ _shared_lock = _threading.Lock()
 _shared: dict = {"store": None, "scheduler": None}
 
 
-def get_shared_scheduler(model: Dict[str, Any], batch_size: int) -> tuple:
+def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
+                         buckets=(1, 2, 4, 8)) -> tuple:
     """Lazily create the process-wide (AvatarStore, BatchScheduler) pair."""
     with _shared_lock:
         if _shared["scheduler"] is None:
@@ -51,7 +52,7 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int) -> tuple:
             sched = BatchScheduler(
                 model["params"], store,
                 lambda n: w2l.make_infer_fn(n, IMG_SIZE, model["dtype"]),
-                batch_size,
+                batch_size, buckets=buckets,
             )
             sched.start()
             _shared["store"] = store
@@ -125,7 +126,10 @@ class LipReal(BaseAvatar):
         self._scheduler = None
         self._store_offset = 0
         if getattr(opt, "coalesce", False):
-            store, self._scheduler = get_shared_scheduler(model, self.batch_size)
+            spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
+            buckets = tuple(int(v) for v in spec.split(",") if v.strip())
+            store, self._scheduler = get_shared_scheduler(model, self.batch_size,
+                                                          buckets=buckets)
             self._store_offset, _ = store.add(avatar["avatar_id"], avatar["face_cycle_host"])
         else:
             self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])

@@ -67,6 +67,9 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
     add("--coalesce", action="store_true", default=False,
         help="coalesce concurrent sessions into one device batch per tick "
              "(engine/scheduler.py)")
+    add("--coalesce_buckets", type=str, default="1,2,4,8",
+        help="session-count bucket sizes compiled for the coalescing "
+             "scheduler (padding absorbs counts in between)")
     add("--vae_int8", action="store_true", default=False,
         help="musetalk: run the VAE decoder with calibrated W8A8 int8 "
              "convs (sd_vae.decode_int8, ~18%% faster step; small "

@@ -31,30 +31,37 @@ from livetalking_tpu.utils.logger import logger
 
 
 class AvatarStore:
-    """Packs avatar face cycles into one device-resident uint8 buffer."""
+    """Packs per-avatar cycle data into one device-resident buffer.
 
-    def __init__(self, img_size: int = 256):
-        self.img_size = img_size
+    Item shape/dtype is fixed by the first registration: wav2lip packs
+    (S, S, 3) uint8 face crops, musetalk packs (32, 32, 8) float32 U-Net
+    input latents — any per-frame cycle works."""
+
+    def __init__(self, img_size: int = 256, item_shape=None, dtype=None):
+        # img_size kept for the original wav2lip call signature
+        self.item_shape = tuple(item_shape) if item_shape else (img_size, img_size, 3)
+        self.dtype = np.dtype(dtype) if dtype else np.uint8
         self._cycles: Dict[str, Tuple[int, int]] = {}  # id -> (offset, length)
         self._host_parts: List[np.ndarray] = []
         self._total = 0
         self._device_buffer = None
         self._lock = threading.Lock()
 
-    def add(self, avatar_id: str, faces: np.ndarray) -> Tuple[int, int]:
-        """Register a (N, S, S, 3) uint8 face cycle; returns (offset, length)."""
+    def add(self, avatar_id: str, cycle: np.ndarray) -> Tuple[int, int]:
+        """Register an (N, *item_shape) cycle; returns (offset, length)."""
         import jax.numpy as jnp
 
         with self._lock:
             if avatar_id in self._cycles:
                 return self._cycles[avatar_id]
-            assert faces.dtype == np.uint8 and faces.shape[1:] == (self.img_size, self.img_size, 3)
+            assert cycle.dtype == self.dtype and cycle.shape[1:] == self.item_shape, (
+                cycle.dtype, cycle.shape, self.dtype, self.item_shape)
             offset = self._total
-            self._host_parts.append(faces)
-            self._total += faces.shape[0]
-            self._cycles[avatar_id] = (offset, faces.shape[0])
+            self._host_parts.append(cycle)
+            self._total += cycle.shape[0]
+            self._cycles[avatar_id] = (offset, cycle.shape[0])
             self._device_buffer = jnp.asarray(np.concatenate(self._host_parts, axis=0))
-            return offset, faces.shape[0]
+            return offset, cycle.shape[0]
 
     def lookup(self, avatar_id: str) -> Tuple[int, int]:
         return self._cycles[avatar_id]

@@ -75,3 +75,79 @@ def test_two_sessions_share_scheduler_and_both_stream(stack):
         q2.set()
         t1.join(timeout=15)
         t2.join(timeout=15)
+
+
+def test_musetalk_sessions_coalesce(tmp_path, monkeypatch):
+    """Two concurrent MuseTalk sessions share one device worker (the
+    BASELINE 8-sessions-per-chip configuration scaled down for CI).
+
+    The real VAE decode is covered by test_musetalk_engine /
+    test_diffusion_blocks; here it is stubbed with a cheap upsample so
+    the scheduler wiring (store offsets, buckets, futures) tests fast on
+    the 1-core host."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.avatars import musetalk_avatar as mtp
+    from livetalking_tpu.models import sd_vae
+    from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
+
+    def cheap_decode(params, z):
+        img = jnp.repeat(jnp.repeat(z[..., :3], 8, axis=1), 8, axis=2)
+        return jnp.clip(img.astype(jnp.float32) + 0.5, 0.0, 1.0)
+
+    monkeypatch.setattr(sd_vae, "decode", cheap_decode)
+    vae_params = sd_vae.init_params(jax.random.PRNGKey(0))
+    make_synthetic_musetalk_avatar(
+        os.path.join(str(tmp_path), "avatars", "mco1"), vae_params, n_frames=3)
+    make_synthetic_musetalk_avatar(
+        os.path.join(str(tmp_path), "avatars", "mco2"), vae_params, n_frames=4)
+
+    opt0 = default_opt(dtype="float32", musetalk_size="tiny", whisper_size="tiny")
+    model = mtp.load_model(opt0)
+    a1 = mtp.load_avatar("mco1", str(tmp_path))
+    a2 = mtp.load_avatar("mco2", str(tmp_path))
+
+    def mk(avatar, sid):
+        opt = default_opt(transport="queue", tts="dummy", batch_size=B,
+                          dtype="float32", coalesce=True, sessionid=sid,
+                          coalesce_buckets="2",
+                          musetalk_size="tiny", whisper_size="tiny")
+        return registry.create("avatar", "musetalk", opt=opt, model=model,
+                               avatar=avatar)
+
+    s1, s2 = mk(a1, "m1"), mk(a2, "m2")
+    assert s1._scheduler is s2._scheduler
+    assert s1._store_offset != s2._store_offset
+
+    q1, q2 = Event(), Event()
+    t1 = Thread(target=s1.render, args=(q1,), daemon=True)
+    t2 = Thread(target=s2.render, args=(q2,), daemon=True)
+    t1.start(); t2.start()
+    try:
+        s1.put_msg_txt("muse session one speaking")
+        s2.put_msg_txt("muse session two speaking")
+        # wait for the shared worker to run its first coalesced batch
+        # (includes the one-time bucket compile on this 1-core host)
+        deadline = time.time() + 300
+        while time.time() < deadline and s1._scheduler.batches_run == 0:
+            time.sleep(0.25)
+        assert s1._scheduler.batches_run > 0, "no coalesced batch ran"
+        deadline = time.time() + 60
+        f1 = f2 = 0
+        while time.time() < deadline and (f1 < 4 or f2 < 4):
+            try:
+                s1.output.video_queue.get_nowait(); f1 += 1
+            except queue.Empty:
+                pass
+            try:
+                s2.output.video_queue.get_nowait(); f2 += 1
+            except queue.Empty:
+                pass
+            time.sleep(0.01)
+        assert f1 >= 4 and f2 >= 4, (f1, f2)
+    finally:
+        q1.set(); q2.set()
+        t1.join(timeout=10); t2.join(timeout=10)
