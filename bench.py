@@ -38,15 +38,8 @@ def main() -> None:
     from livetalking_tpu.utils.jaxinit import jit_init
 
     params = jit_init(w2l.init_params, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-
-    def fused(params, cycle, idxs, mel):
-        faces = jnp.take(cycle, idxs, axis=0)
-        f = faces.astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
-        row = jnp.arange(S)[None, :, None, None]
-        masked = jnp.where(row < S // 2, f, jnp.asarray(0.0, jnp.bfloat16))
-        x = jnp.concatenate([masked, f], axis=-1)
-        out = w2l.apply(params, mel.astype(jnp.bfloat16)[..., None], x)
-        return jnp.clip(out * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    # the production fused step itself (jit-of-jit inlines under run_k)
+    fused = w2l.make_infer_fn(B, S, jnp.bfloat16)
 
     def make_run_k(k):
         @jax.jit

@@ -178,9 +178,12 @@ def main() -> None:
     if getattr(opt, "profile_dir", ""):
         # device-side tracing (SURVEY §5: the reference has only manual fps
         # counters; we add jax.profiler on top of the same log shapes)
+        import atexit
+
         import jax
 
         jax.profiler.start_trace(opt.profile_dir)
+        atexit.register(jax.profiler.stop_trace)  # flush on shutdown
         logger.info("jax.profiler tracing to %s", opt.profile_dir)
 
     if opt.transport in ("virtualcam", "rtmp", "queue", "null"):

@@ -46,7 +46,7 @@ _shared: dict = {"store": None, "scheduler": None}
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          vae_params, vae_int8: bool,
                          buckets=(1, 2, 4, 8)) -> tuple:
-    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
+    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler, parse_buckets
 
     with _shared_lock:
         if _shared["scheduler"] is None:
@@ -66,11 +66,6 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
             _shared["store"] = store
             _shared["scheduler"] = sched
         return _shared["store"], _shared["scheduler"]
-
-
-def _parse_buckets(opt) -> tuple:
-    spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
-    return tuple(int(v) for v in spec.split(",") if v.strip())
 
 
 def load_model(opt=None) -> Dict[str, Any]:
@@ -218,7 +213,9 @@ class MuseReal(BaseAvatar):
         if use_int8:
             if "vae_params_q" not in model:  # shared across sessions
                 q = sd_vae.quantize_decoder(model["vae_params"])
-                zc = jnp.asarray(self.latent_cycle_device[:4, :, :, :4])
+                # calibrate on the reference-face latent channels ([4:] of
+                # cat(masked, ref)) - the decode-time distribution
+                zc = jnp.asarray(self.latent_cycle_device[:4, :, :, 4:])
                 model["vae_params_q"] = sd_vae.calibrate_decoder(
                     model["vae_params"], q, zc)
                 logger.info("musetalk: int8 VAE decoder calibrated")
@@ -227,9 +224,11 @@ class MuseReal(BaseAvatar):
         self._scheduler = None
         self._store_offset = 0
         if getattr(opt, "coalesce", False):
+            from livetalking_tpu.engine.scheduler import parse_buckets
+
             store, self._scheduler = get_shared_scheduler(
                 model, self.batch_size, self._vae_params, use_int8,
-                buckets=_parse_buckets(opt))
+                buckets=parse_buckets(opt))
             self._store_offset, _ = store.add(
                 avatar["avatar_id"], avatar["latent_cycle_host"])
         else:
@@ -239,7 +238,7 @@ class MuseReal(BaseAvatar):
         # on-device composite with the per-frame feathered parse masks
         # (ops/pallas_blend.py MaskedDevicePasteBack)
         self._device_paste = None
-        if getattr(opt, "device_paste_back", False):
+        if getattr(opt, "device_paste_back", False) and self._scheduler is None:
             from livetalking_tpu.ops.pallas_blend import MaskedDevicePasteBack
 
             dp = MaskedDevicePasteBack(

@@ -126,10 +126,10 @@ class LipReal(BaseAvatar):
         self._scheduler = None
         self._store_offset = 0
         if getattr(opt, "coalesce", False):
-            spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
-            buckets = tuple(int(v) for v in spec.split(",") if v.strip())
-            store, self._scheduler = get_shared_scheduler(model, self.batch_size,
-                                                          buckets=buckets)
+            from livetalking_tpu.engine.scheduler import parse_buckets
+
+            store, self._scheduler = get_shared_scheduler(
+                model, self.batch_size, buckets=parse_buckets(opt))
             self._store_offset, _ = store.add(avatar["avatar_id"], avatar["face_cycle_host"])
         else:
             self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])

@@ -212,9 +212,19 @@ class BatchScheduler:
                             r.future.set_exception(e)
             pending = nxt
         if pending is not None:  # drain the in-flight batch on shutdown
+            dev, preqs = pending
             try:
-                self._resolve(*pending)
-            except Exception:
-                pass
+                self._resolve(dev, preqs)
+            except Exception as e:  # waiters must never block forever
+                for r in preqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
         logger.info("batch scheduler stop (batches=%d requests=%d frames=%d)",
                     self.batches_run, self.requests_run, self.frames_run)
+
+
+def parse_buckets(opt) -> tuple:
+    """--coalesce_buckets spec ('1,2,4,8') -> sorted int tuple; shared by
+    every avatar family wiring the BatchScheduler."""
+    spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
+    return tuple(int(v) for v in spec.split(",") if v.strip())

@@ -331,12 +331,19 @@ def generate_ernerf_avatar(
     params = ernerf.init_params(jax.random.PRNGKey(0), audio_dim=AUDIO_DIM)
     tx, step = ernerf.make_train_step(lr=2e-3, size=size, n_samples=16)
     opt_state = tx.init(params)
-    bg = jnp.zeros((batch, size, size, 3), jnp.float32)
     rng = np.random.default_rng(0)
     for it in range(train_steps):
         sel = rng.integers(0, n, (batch,))
+        # random solid background per sample (classic NeRF trick): forces
+        # the field to explain the head with alpha ~ 1 rather than relying
+        # on any particular compositing background — at serve time the
+        # render composites over the avatar's own bbox crop
+        # (avatars/ernerf_avatar.py NerfReal.bg_cycle_device)
+        bg = np.broadcast_to(
+            rng.random((batch, 1, 1, 3)).astype(np.float32),
+            (batch, size, size, 3))
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(feats[sel]), bg,
+            params, opt_state, jnp.asarray(feats[sel]), jnp.asarray(bg),
             jnp.asarray(crops[sel]))
         if it % max(1, train_steps // 10) == 0:
             _report(progress_callback,
