@@ -54,17 +54,28 @@ class WhisperFeatures(BaseFeatureExtractor):
 
         self._fn = features
         self._n_samples = n_samples
+        self._zero = jnp.zeros((self.batch_size, n_ctx, D), jnp.float32)
+        self.last_is_silence = True
 
     def run_step(self) -> None:
-        self._ingest_step_frames()
+        n_speech = self._ingest_step_frames()
+        is_all_silence = n_speech == 0
         if len(self.frames) <= self.stride_left_size + self.stride_right_size:
             return
 
-        audio = np.concatenate(self.frames).astype(np.float32)
-        if audio.shape[0] < self._n_samples:
-            audio = np.concatenate([np.zeros(self._n_samples - audio.shape[0], np.float32), audio])
-        elif audio.shape[0] > self._n_samples:
-            audio = audio[-self._n_samples:]
+        if is_all_silence and self.last_is_silence:
+            # sustained silence: no encoder run (the inference thread skips
+            # the U-Net too) — same fast path as the HuBERT extractor
+            feats = self._zero
+        else:
+            audio = np.concatenate(self.frames).astype(np.float32)
+            if audio.shape[0] < self._n_samples:
+                audio = np.concatenate(
+                    [np.zeros(self._n_samples - audio.shape[0], np.float32), audio])
+            elif audio.shape[0] > self._n_samples:
+                audio = audio[-self._n_samples:]
+            feats = self._fn(audio)
 
-        self.feat_queue.put(self._fn(audio))
+        self.feat_queue.put(feats)
         self._trim_frames()
+        self.last_is_silence = is_all_silence

@@ -31,7 +31,7 @@ import subprocess
 import time
 from importlib import import_module
 from queue import Queue
-from threading import Event, Thread
+from threading import Event, Lock, Thread
 from typing import Dict, List, Optional
 
 import cv2
@@ -59,6 +59,7 @@ class BaseAvatar:
         self.recording = False
         self._rec_video_pipe = None
         self._rec_audio_pipe = None
+        self._record_lock = Lock()  # writers (compose thread) vs stop (HTTP)
         self.width = self.height = 0
 
         # custom choreography state (audiotype 0 = normal, 1 = silence, >1 = custom)
@@ -108,10 +109,20 @@ class BaseAvatar:
         first = True
         while streamlen >= self.chunk:
             eventpoint = {}
+            is_last = streamlen - self.chunk < self.chunk
             if first:
                 eventpoint = {"status": "start"}
                 first = False
-            if streamlen - self.chunk < self.chunk:
+                if is_last:
+                    # one-chunk stream: keep 'start' here and carry 'end' on
+                    # a trailing 20 ms of silence so subscribers see both
+                    eventpoint.update(**datainfo)
+                    self.put_audio_frame(stream[idx : idx + self.chunk], eventpoint)
+                    tail = {"status": "end"}
+                    tail.update(**datainfo)
+                    self.put_audio_frame(np.zeros(self.chunk, np.float32), tail)
+                    return
+            if is_last:
                 eventpoint = {"status": "end"}
             eventpoint.update(**datainfo)
             self.put_audio_frame(stream[idx : idx + self.chunk], eventpoint)
@@ -219,6 +230,10 @@ class BaseAvatar:
             self._rec_pending_audio = []
             self.recording = True
             return
+        if self.width == 0:
+            logger.error("start_recording before the first frame (unknown "
+                         "dims) requires the native muxer - ignoring")
+            return
         vcmd = ["ffmpeg", "-y", "-an", "-f", "rawvideo", "-vcodec", "rawvideo",
                 "-pix_fmt", "bgr24", "-s", f"{self.width}x{self.height}",
                 "-r", "25", "-i", "-", "-pix_fmt", "yuv420p", "-vcodec", "h264",
@@ -232,56 +247,68 @@ class BaseAvatar:
     def record_video_data(self, image: np.ndarray) -> None:
         if self.width == 0:
             self.height, self.width, _ = image.shape
-        if not self.recording:
-            return
-        if self._rec_native:
-            if self._rec_muxer is None:
-                from livetalking_tpu.native import AVMuxer
+        with self._record_lock:
+            if not self.recording:
+                return
+            try:
+                if self._rec_native:
+                    if self._rec_muxer is None:
+                        from livetalking_tpu.native import AVMuxer
 
-                h, w = image.shape[:2]
-                self._rec_muxer = AVMuxer(self._record_path(), w, h, self.opt.fps)
-                for pcm in self._rec_pending_audio:
-                    self._rec_muxer.write_audio(pcm)
-                self._rec_pending_audio = []
-            self._rec_muxer.write_video(image)
-        else:
-            self._rec_video_pipe.stdin.write(image.tobytes())
+                        h, w = image.shape[:2]
+                        self._rec_muxer = AVMuxer(self._record_path(), w, h, self.opt.fps)
+                        for pcm in self._rec_pending_audio:
+                            self._rec_muxer.write_audio(pcm)
+                        self._rec_pending_audio = []
+                    self._rec_muxer.write_video(image)
+                else:
+                    self._rec_video_pipe.stdin.write(image.tobytes())
+            except Exception as e:
+                # a broken recorder must never kill the compose thread
+                logger.error("recording video write failed - disabling: %s", e)
+                self.recording = False
 
     def record_audio_data(self, frame: np.ndarray) -> None:
-        if not self.recording:
-            return
-        if self._rec_native:
-            if self._rec_muxer is None:
-                self._rec_pending_audio.append(np.asarray(frame, np.int16))
-            else:
-                self._rec_muxer.write_audio(frame)
-        else:
-            self._rec_audio_pipe.stdin.write(frame.tobytes())
+        with self._record_lock:
+            if not self.recording:
+                return
+            try:
+                if self._rec_native:
+                    if self._rec_muxer is None:
+                        self._rec_pending_audio.append(np.asarray(frame, np.int16))
+                    else:
+                        self._rec_muxer.write_audio(frame)
+                else:
+                    self._rec_audio_pipe.stdin.write(frame.tobytes())
+            except Exception as e:
+                logger.error("recording audio write failed - disabling: %s", e)
+                self.recording = False
 
     def stop_recording(self) -> None:
-        if not self.recording:
-            return
-        self.recording = False
-        if self._rec_native:
-            if self._rec_muxer is not None:
-                self._rec_muxer.close()
-                self._rec_muxer = None
-            return
-        self._rec_video_pipe.stdin.close()
-        self._rec_video_pipe.wait()
-        self._rec_audio_pipe.stdin.close()
-        self._rec_audio_pipe.wait()
-        subprocess.run(
-            ["ffmpeg", "-y", "-i", f"temp{self.sessionid}.aac",
-             "-i", f"temp{self.sessionid}.mp4", "-c:v", "copy", "-c:a", "copy",
-             self._record_path()],
-            check=False,
-        )
-        for tmp in (f"temp{self.sessionid}.aac", f"temp{self.sessionid}.mp4"):
-            try:
-                os.remove(tmp)
-            except OSError as e:
-                logger.error("error removing temp file %s: %s", tmp, e)
+        with self._record_lock:
+            if not self.recording:
+                return
+            self.recording = False
+            if self._rec_native:
+                if self._rec_muxer is not None:
+                    self._rec_muxer.close()
+                    self._rec_muxer = None
+                return
+            self._rec_video_pipe.stdin.close()
+            self._rec_video_pipe.wait()
+            self._rec_audio_pipe.stdin.close()
+            self._rec_audio_pipe.wait()
+            subprocess.run(
+                ["ffmpeg", "-y", "-i", f"temp{self.sessionid}.aac",
+                 "-i", f"temp{self.sessionid}.mp4", "-c:v", "copy", "-c:a", "copy",
+                 self._record_path()],
+                check=False,
+            )
+            for tmp in (f"temp{self.sessionid}.aac", f"temp{self.sessionid}.mp4"):
+                try:
+                    os.remove(tmp)
+                except OSError as e:
+                    logger.error("error removing temp file %s: %s", tmp, e)
 
     # ------------------------------------------------------------------
     # render pipeline
@@ -357,6 +384,9 @@ class BaseAvatar:
         """Compose thread: silence frames replay the base/custom cycle;
         speech frames get pasted back; both are watermarked and pushed with
         their two 20 ms audio frames."""
+        if self.output is None:
+            logger.error("no streamout plugin - compose thread not starting")
+            return
         self.output.start()
         while not quit_event.is_set():
             try:

@@ -250,6 +250,33 @@ int ltav_close(LtavMuxer* m) {
   if (!m) return -1;
   int ret = 0;
   if (m->header_written) {
+    // drain the audio fifo tail (< frame_size samples would otherwise be
+    // dropped, truncating up to ~64 ms off every recording): pad the last
+    // partial frame with silence and encode it before flushing
+    if (m->aenc && m->fifo) {
+      int remaining = av_audio_fifo_size(m->fifo);
+      if (remaining > 0) {
+        const int frame_size = m->aenc->frame_size > 0 ? m->aenc->frame_size : 1024;
+        AVFrame* af = av_frame_alloc();
+        af->nb_samples = frame_size;
+        af->format = AV_SAMPLE_FMT_FLTP;
+        af->sample_rate = m->sample_rate;
+#if LIBAVUTIL_VERSION_MAJOR >= 57
+        av_channel_layout_default(&af->ch_layout, 1);
+#else
+        af->channels = 1;
+        af->channel_layout = AV_CH_LAYOUT_MONO;
+#endif
+        av_frame_get_buffer(af, 0);
+        std::memset(af->data[0], 0, frame_size * sizeof(float));
+        av_audio_fifo_read(m->fifo, reinterpret_cast<void**>(af->data), remaining);
+        af->pts = m->apts;
+        m->apts += frame_size;
+        if (avcodec_send_frame(m->aenc, af) >= 0)
+          write_packet(m, m->aenc, m->astream);
+        av_frame_free(&af);
+      }
+    }
     // flush encoders
     if (m->venc) {
       avcodec_send_frame(m->venc, nullptr);

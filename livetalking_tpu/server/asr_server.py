@@ -96,7 +96,8 @@ class WhisperJaxSTT:
                 jnp.asarray([self._cfg.sot], jnp.int32),
                 jnp.int32(0), caches, cross_kv)
             ids = jnp.arange(self._cfg.vocab_size)
-            is_lang = (ids >= self._cfg.lang_en) & (ids < self._cfg.task_transcribe)
+            # language tokens end at task_transcribe-2; task_transcribe-1 is <|translate|>
+            is_lang = (ids >= self._cfg.lang_en) & (ids < self._cfg.task_transcribe - 1)
             return jnp.argmax(jnp.where(is_lang[None], logits, -jnp.inf), -1)
 
         self._detect_lang = detect_lang

@@ -9,28 +9,17 @@ endpoints; uniform JSON envelope.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 from aiohttp import web
 
+from livetalking_tpu.server.routes import json_error as _json_error
+from livetalking_tpu.server.routes import json_ok as _json_ok
 from livetalking_tpu.server.task_manager import task_manager
 from livetalking_tpu.utils.logger import logger
 
-
-def _json_ok(data=None):
-    import json
-
-    body = {"code": 0, "msg": "ok"}
-    if data is not None:
-        body["data"] = data
-    return web.Response(content_type="application/json", text=json.dumps(body))
-
-
-def _json_error(msg, code=-1):
-    import json
-
-    return web.Response(content_type="application/json",
-                        text=json.dumps({"code": code, "msg": str(msg)}))
+_AVATAR_ID_RE = re.compile(r"^[A-Za-z0-9_.-]{1,64}$")
 
 
 async def create_avatar_task(request: web.Request) -> web.Response:
@@ -40,6 +29,8 @@ async def create_avatar_task(request: web.Request) -> web.Response:
         if fileobj is None:
             return _json_error("missing video file")
         avatar_id = str(form.get("avatar_id", "") or f"avatar_{uuid.uuid4().hex[:8]}")
+        if not _AVATAR_ID_RE.match(avatar_id) or ".." in avatar_id:
+            return _json_error("invalid avatar_id (allowed: [A-Za-z0-9_.-], max 64)")
 
         tmp_dir = os.path.join("data", "tmp")
         os.makedirs(tmp_dir, exist_ok=True)

@@ -9,6 +9,7 @@ when the connection fails/closes; ``handle_rtcpush`` dials a WHIP endpoint
 
 from __future__ import annotations
 
+import asyncio
 import json
 from typing import Callable, Optional, Set
 
@@ -59,15 +60,18 @@ class RTCManager:
             pc = self._make_pc()
             self.pcs.add(pc)
 
+            player = HumanPlayer(avatar_session)
+
             @pc.on("connectionstatechange")
             async def on_connectionstatechange():
                 logger.info("Connection state is %s", pc.connectionState)
                 if pc.connectionState in ("failed", "closed"):
                     await pc.close()
                     self.pcs.discard(pc)
+                    # stop the render/TTS/inference/compose threads before
+                    # dropping the session (otherwise they run forever)
+                    await asyncio.get_event_loop().run_in_executor(None, player.stop)
                     session_manager.remove_session(sessionid)
-
-            player = HumanPlayer(avatar_session)
             pc.addTrack(player.audio)
             pc.addTrack(player.video)
             _prefer_codecs(pc)

@@ -131,3 +131,27 @@ def test_audio_passthrough_is_int16(session):
     frame, _ev = session.output.audio_queue.get(timeout=20)
     assert frame.dtype == np.int16
     assert frame.shape == (320,)
+
+
+def test_single_chunk_stream_emits_start_and_end():
+    """A one-chunk audio stream must surface BOTH eventpoints (start on
+    the chunk, end on a trailing silence chunk) - subscribers gate on
+    start before end."""
+    from livetalking_tpu.avatars.base_avatar import BaseAvatar
+    from livetalking_tpu.config import default_opt
+
+    opt = default_opt(transport="null", tts="dummy", batch_size=2,
+                      sessionid="ev1")
+    sess = BaseAvatar(opt)
+    seen = []
+
+    class FakeAsr:
+        def put_audio_frame(self, chunk, eventpoint):
+            seen.append((len(chunk), dict(eventpoint)))
+
+    sess.asr = FakeAsr()
+    sess._put_pcm_stream(np.zeros(sess.chunk, np.float32), {"text": "hi"})
+    statuses = [e.get("status") for _n, e in seen]
+    assert statuses == ["start", "end"], seen
+    assert all(n == sess.chunk for n, _e in seen)
+    assert all(e.get("text") == "hi" for _n, e in seen)
