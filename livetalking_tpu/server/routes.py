@@ -212,8 +212,43 @@ async def admin_sessions(request: web.Request) -> web.Response:
         return json_error(str(e))
 
 
+async def admin_metrics(request: web.Request) -> web.Response:
+    """Process-wide runtime metrics: device, sessions, and (when coalesce
+    mode is active) the shared scheduler's batch counters."""
+    try:
+        data: dict = {"sessions": len([s for s in session_manager.sessions.values()
+                                       if s is not None])}
+        try:
+            import jax
+
+            data["backend"] = jax.default_backend()
+            data["devices"] = jax.device_count()
+        except Exception:
+            pass
+        for family in ("wav2lip_avatar", "musetalk_avatar"):
+            try:
+                import importlib
+
+                mod = importlib.import_module(f"livetalking_tpu.avatars.{family}")
+                sched = mod._shared.get("scheduler")
+                if sched is not None:
+                    data[f"{family.split('_')[0]}_scheduler"] = {
+                        "batches_run": sched.batches_run,
+                        "requests_run": sched.requests_run,
+                        "frames_run": sched.frames_run,
+                        "buckets": list(sched.buckets),
+                    }
+            except Exception:
+                pass
+        return json_ok(data=data)
+    except Exception as e:
+        logger.exception("admin_metrics exception:")
+        return json_error(str(e))
+
+
 def setup_routes(app: web.Application, web_root: str = "web") -> None:
     app.router.add_post("/human", human)
+    app.router.add_get("/api/admin/metrics", admin_metrics)
     app.router.add_post("/humanaudio", humanaudio)
     app.router.add_post("/set_audiotype", set_audiotype)
     app.router.add_post("/record", record)

@@ -169,3 +169,10 @@ def test_sse_stream_delivers_eventpoints(server, sessionid):
             break
     resp.close()
     assert got is not None and got["text"] == "sse check"
+
+
+def test_admin_metrics(server):
+    r = requests.get(server + "/api/admin/metrics", timeout=5).json()
+    assert r["code"] == 0
+    assert "sessions" in r["data"]
+    assert r["data"].get("backend") == "cpu"

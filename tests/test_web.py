@@ -19,7 +19,7 @@ SCRIPTS = ["client.js", "asr-client.js", "whep.js"]
 SERVER_ENDPOINTS = {
     "/offer", "/human", "/humanaudio", "/interrupt_talk", "/is_speaking",
     "/set_audiotype", "/record", "/sse", "/session", "/session/close",
-    "/api/admin/config", "/api/admin/sessions", "/api/asr",
+    "/api/admin/config", "/api/admin/sessions", "/api/admin/metrics", "/api/asr",
     "/api/avatar/task", "/api/avatar/tasks",
 }
 
