@@ -171,6 +171,13 @@ def build_web_app() -> web.Application:
 
 
 def main() -> None:
+    try:
+        from dotenv import load_dotenv
+
+        load_dotenv()  # provider keys from .env (reference app.py:230)
+    except ImportError:
+        pass
+
     options = parse_args()
     logger.info(options)
     load_plugin_stack(options)
