@@ -53,3 +53,58 @@ def test_encoder_stacked_hidden_states_parity(pair, rng):
     got = np.asarray(we.apply_stacked(params, jcfg, jnp.asarray(mel)))
     assert got.shape == want.shape == (1, 100, 4, 64)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decoder_step_parity_with_hf():
+    """KV-cached decode_step logits match a torch HF WhisperDecoder forward
+    (tiny random-init config) for a short prompt."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+
+    from livetalking_tpu.models import whisper_decoder as wd
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=1000, d_model=64, decoder_layers=2, decoder_attention_heads=4,
+        decoder_ffn_dim=128, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, num_mel_bins=80, max_target_positions=64,
+        max_source_positions=32, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1,
+    )
+    torch.manual_seed(0)
+    tdec = transformers.models.whisper.modeling_whisper.WhisperDecoder(hf_cfg).eval()
+
+    cfg = wd.WhisperDecoderConfig(vocab_size=1000, d_model=64, num_layers=2,
+                                  num_heads=4, ffn=128, max_target_positions=64)
+    sd = {f"decoder.{k}": v for k, v in tdec.state_dict().items()}
+    params = wd.convert_torch_state_dict(sd, cfg, jnp.float32)
+
+    B, S = 2, 7
+    rng = np.random.default_rng(0)
+    enc = rng.standard_normal((B, 16, 64)).astype(np.float32)
+    tokens = rng.integers(0, 1000, (B, S))
+
+    with torch.no_grad():
+        out = tdec(input_ids=torch.from_numpy(tokens),
+                   encoder_hidden_states=torch.from_numpy(enc))
+        # HF decoder returns hidden states; project with tied embeddings
+        ref_logits = (out.last_hidden_state @ tdec.embed_tokens.weight.T).numpy()
+
+    cross_kv = wd.precompute_cross_kv(params, cfg, jnp.asarray(enc))
+    H, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+    caches = [(jnp.zeros((B, H, S, hd), jnp.float32),
+               jnp.zeros((B, H, S, hd), jnp.float32))
+              for _ in range(cfg.num_layers)]
+    got = []
+    for i in range(S):
+        logits, caches = wd.decode_step(params, cfg,
+                                        jnp.asarray(tokens[:, i], jnp.int32),
+                                        jnp.int32(i), caches, cross_kv)
+        got.append(np.asarray(logits))
+    got = np.stack(got, axis=1)  # (B, S, V)
+
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-3, atol=2e-3)
