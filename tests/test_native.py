@@ -29,8 +29,9 @@ def test_mux_decode_roundtrip(tmp_path):
 
     with open(path, "rb") as f:
         audio = native.decode_audio_bytes(f.read())
-    # 1 s written; aac priming may trim a little
-    assert 12000 < audio.shape[0] <= 16384
+    # 1 s = 16000 samples written = 15x1024 + 640: the fifo tail drain must
+    # keep the final partial AAC frame (without it only 15360 survive)
+    assert 15700 < audio.shape[0] <= 16600, audio.shape
     # the 440 Hz tone must survive the aac round trip
     spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
     freqs = np.fft.rfftfreq(len(audio), 1 / 16000)
