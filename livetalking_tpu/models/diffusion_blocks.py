@@ -164,8 +164,7 @@ def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 # -- converter helpers ------------------------------------------------------
 
-def _np(v):
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+from livetalking_tpu.models.layers import to_numpy as _np  # noqa: E402
 
 
 def t_conv(sd, prefix, dtype):

@@ -72,17 +72,11 @@ Params = Dict[str, Any]
 
 # -- primitive helpers ------------------------------------------------------
 
-def _linear(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
-
-
-def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(-1, keepdims=True)
-    var = xf.var(-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+from livetalking_tpu.models.layers import (  # shared primitives
+    layer_norm_f32 as _layer_norm,
+    linear_f32 as _linear,
+    to_numpy as _hoisted_np,
+)
 
 
 def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b, stride: int, padding: int, groups: int = 1) -> jnp.ndarray:
@@ -116,8 +110,7 @@ def _attention(p: Dict, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     return _linear(p["o"], out)
 
 
-def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+from livetalking_tpu.models.layers import gelu_exact as _gelu  # noqa: E402
 
 
 # -- forward ----------------------------------------------------------------
@@ -235,8 +228,7 @@ def init_params(key: jax.Array, cfg: HubertConfig = LARGE, dtype=jnp.bfloat16) -
 
 # -- torch conversion -------------------------------------------------------
 
-def _np(v):
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+_np = _hoisted_np
 
 
 def convert_torch_state_dict(sd: Dict[str, Any], cfg: HubertConfig = LARGE, dtype=jnp.bfloat16) -> Params:

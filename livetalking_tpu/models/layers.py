@@ -184,3 +184,34 @@ def fold_bn(
     b0 = b if b is not None else np.zeros_like(mean)
     b2 = (b0 - mean) * s + beta
     return w2, b2
+
+
+# -- shared transformer/conversion primitives --------------------------------
+# (single home for helpers previously duplicated across whisper/hubert/
+# ultralight/wav2lip/diffusion_blocks)
+
+def to_numpy(v) -> np.ndarray:
+    """torch tensor or array-like -> np.ndarray (checkpoint converters)."""
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
+def linear_f32(p, x):
+    """x @ w + b with f32 accumulation, output in x.dtype."""
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm_f32(p, x, eps):
+    """LayerNorm with f32 statistics, gamma/beta keys 'g'/'b'."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu_exact(x):
+    """Non-approximate GELU in f32 (HF default), output in x.dtype."""
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)

@@ -49,6 +49,8 @@ def make_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, ctx_len: int = 
 
     @jax.jit
     def step(unet_params, vae_params, latent_cycle, idxs, whisper):
+        # trace-time check: the step is compiled for this batch size
+        assert whisper.shape[0] == batch_size, (whisper.shape, batch_size)
         lat = jnp.take(latent_cycle, idxs, axis=0).astype(dtype)
         ctx = (whisper + pe).astype(dtype)
         t = jnp.zeros((whisper.shape[0],), jnp.float32)

@@ -139,8 +139,7 @@ def apply(params: Params, face: jnp.ndarray, audio: jnp.ndarray) -> jnp.ndarray:
 # torch checkpoint conversion (reference per-avatar ultralight.pth)
 # ---------------------------------------------------------------------------
 
-def _np(v) -> np.ndarray:
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+from livetalking_tpu.models.layers import to_numpy as _np  # noqa: E402
 
 
 def _conv_bn(sd, conv_key: str, bn_key: str, dtype, has_bias: bool = False):
@@ -228,10 +227,11 @@ def make_infer_fn(batch_size: int, dtype=jnp.bfloat16):
     def step(params: Params, crop_cycle: jnp.ndarray, idxs: jnp.ndarray, audio: jnp.ndarray):
         crops = jnp.take(crop_cycle, idxs, axis=0)  # (B, 168, 168, 3) uint8
         real = crops[:, 4 : 4 + S, 4 : 4 + S, :].astype(dtype) / jnp.asarray(255.0, dtype)
-        # cv2.rectangle((5,5,150,145), filled) masks x in [5,155], y in [5,150]
+        # cv2.rectangle((5,5,150,145), filled) hits the Rect (x,y,w,h)
+        # overload: fills x in [5,154], y in [5,149] (verified vs cv2)
         ys = jnp.arange(S)[None, :, None, None]
         xs = jnp.arange(S)[None, None, :, None]
-        inside = (ys >= 5) & (ys <= 150) & (xs >= 5) & (xs <= 155)
+        inside = (ys >= 5) & (ys < 150) & (xs >= 5) & (xs < 155)
         masked = jnp.where(inside, jnp.asarray(0.0, dtype), real)
         x = jnp.concatenate([real, masked], axis=-1)  # (B, 160, 160, 6)
         a = jnp.transpose(audio, (0, 2, 3, 1)).astype(dtype)  # (B, 32, 32, 16)

@@ -184,10 +184,7 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.bfloat16) -> P
     }
 
 
-def _np(v) -> np.ndarray:
-    if hasattr(v, "detach"):
-        return v.detach().cpu().numpy()
-    return np.asarray(v)
+from livetalking_tpu.models.layers import to_numpy as _np  # noqa: E402
 
 
 def load_torch_checkpoint(path: str, dtype=jnp.bfloat16) -> Params:

@@ -229,8 +229,7 @@ def init_params(key: jax.Array, cfg: WhisperDecoderConfig = TINY_DECODER,
     }
 
 
-def _np(v):
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+from livetalking_tpu.models.layers import to_numpy as _np  # noqa: E402
 
 
 def convert_torch_state_dict(sd: Dict[str, Any],

@@ -37,23 +37,12 @@ TINY = WhisperConfig()
 Params = Dict[str, Any]
 
 
-def _linear(p, x):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    if p.get("b") is not None:
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
-def _ln(p, x, eps):
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(-1, keepdims=True)
-    var = xf.var(-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (y * p["g"] + p["b"]).astype(x.dtype)
-
-
-def _gelu(x):
-    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+from livetalking_tpu.models.layers import (  # shared primitives
+    gelu_exact as _gelu,
+    layer_norm_f32 as _ln,
+    linear_f32 as _linear,
+    to_numpy as _to_numpy,
+)
 
 
 def _attn(p, x, heads):
@@ -139,8 +128,7 @@ def init_params(key: jax.Array, cfg: WhisperConfig = TINY, dtype=jnp.bfloat16) -
     }
 
 
-def _np(v):
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+_np = _to_numpy
 
 
 def convert_torch_state_dict(sd: Dict[str, Any], cfg: WhisperConfig = TINY, dtype=jnp.bfloat16) -> Params:

@@ -75,12 +75,18 @@ class RTMPOutput(BaseOutput):
 
     def push_audio_frame(self, frame: np.ndarray, eventpoint=None) -> None:
         if self._muxer is None:
+            # bound the pre-open buffer (~10 s) so a persistently failing
+            # muxer cannot grow memory without limit
             self._pre_video_audio.append(np.asarray(frame, np.int16))
-            return
-        try:
-            self._muxer.write_audio(frame)
-        except Exception as e:
-            logger.error("rtmp audio write failed: %s", e)
+            if len(self._pre_video_audio) > 500:
+                self._pre_video_audio.pop(0)
+        else:
+            try:
+                self._muxer.write_audio(frame)
+            except Exception as e:
+                logger.error("rtmp audio write failed: %s", e)
+        # eventpoints fire regardless of muxer state: SSE consumers track
+        # speaking status through them
         if eventpoint and self.parent is not None:
             self.parent.notify(eventpoint)
 

@@ -42,7 +42,14 @@ class AzureTTS(BaseTTS):
     def txt_to_audio(self, msg):
         text, textevent = msg
         voice = textevent.get("tts", {}).get("ref_file", self.voice)
-        self.speech_config.speech_synthesis_voice_name = voice
+        if voice != self.speech_config.speech_synthesis_voice_name:
+            # the synthesizer snapshots its config at construction: a new
+            # voice needs a fresh synthesizer, not a config mutation
+            self.speech_config.speech_synthesis_voice_name = voice
+            self.synthesizer = speechsdk.SpeechSynthesizer(
+                speech_config=self.speech_config, audio_config=None
+            )
+            self.synthesizer.synthesizing.connect(self._on_synthesizing)
         result = self.synthesizer.speak_text(text)
         try:
             fb = result.properties.get_property(

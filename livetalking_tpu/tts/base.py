@@ -62,17 +62,20 @@ class BaseTTS:
         self.stop_tts()
         logger.info("tts thread stop")
 
-    def emit_pcm(self, stream: np.ndarray, text: str, textevent: dict) -> None:
+    def emit_pcm(self, stream: np.ndarray, text: str, textevent: dict,
+                 emit_start: bool = True, emit_end: bool = True) -> None:
         """Chunk a full 16 kHz float32 utterance into 20 ms frames with
-        start/end eventpoints and feed the parent (reference tts/edge.py:30-43)."""
+        start/end eventpoints and feed the parent (reference tts/edge.py:30-43).
+        Multi-part utterances pass emit_start/emit_end so exactly one
+        start and one end fire per message."""
         streamlen = stream.shape[0]
         idx = 0
         while streamlen >= self.chunk and self.state == State.RUNNING:
             eventpoint = {}
             streamlen -= self.chunk
-            if idx == 0:
+            if idx == 0 and emit_start:
                 eventpoint = {"status": "start", "text": text}
-            elif streamlen < self.chunk:
+            elif streamlen < self.chunk and emit_end:
                 eventpoint = {"status": "end", "text": text}
             eventpoint.update(**textevent)
             self.parent.put_audio_frame(stream[idx : idx + self.chunk], eventpoint)

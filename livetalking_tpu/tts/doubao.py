@@ -55,11 +55,11 @@ class DoubaoTTS(BaseTTS):
         _SENTINEL = object()
 
         def producer():
+            loop = asyncio.new_event_loop()
             try:
-                asyncio.new_event_loop().run_until_complete(
-                    self._collect(text, voice, pipe)
-                )
+                loop.run_until_complete(self._collect(text, voice, pipe))
             finally:
+                loop.close()
                 pipe.put(_SENTINEL)
 
         Thread(target=producer, daemon=True).start()

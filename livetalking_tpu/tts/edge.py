@@ -29,7 +29,11 @@ class EdgeTTS(BaseTTS):
         )
         t0 = time.time()
         buf = io.BytesIO()
-        asyncio.new_event_loop().run_until_complete(self._synth(voice, text, buf))
+        loop = asyncio.new_event_loop()
+        try:
+            loop.run_until_complete(self._synth(voice, text, buf))
+        finally:
+            loop.close()
         logger.info("-------edge tts time:%.4fs", time.time() - t0)
         if buf.getbuffer().nbytes <= 0:
             logger.error("edgetts returned no audio")

@@ -13,6 +13,8 @@ from __future__ import annotations
 import re
 import time
 
+import numpy as np
+
 from gradio_client import Client, handle_file  # gated import
 
 from livetalking_tpu.registry import register
@@ -49,6 +51,13 @@ class IndexTTS2(BaseTTS):
             path = result.get("value") if isinstance(result, dict) else result
             logger.info("indextts2 segment %.3fs", time.perf_counter() - t0)
             stream = load_pcm16k(path)
-            ev_text = seg if not first else text
-            self.emit_pcm(stream, ev_text, textevent)
+            # exactly one start (first successful segment) and one end
+            # (trailing silence chunk below) per message
+            self.emit_pcm(stream, text, textevent,
+                          emit_start=first, emit_end=False)
             first = False
+        if not first and self.state == State.RUNNING:
+            tail = {"status": "end", "text": text}
+            tail.update(**textevent)
+            self.parent.put_audio_frame(
+                np.zeros(self.chunk, np.float32), tail)
