@@ -50,15 +50,21 @@ class HubertFeatures(BaseFeatureExtractor):
         assert self._plane * self._plane == hidden, "hidden must be a square for the reshape"
         rows_dev = jnp.asarray(rows)
 
+        cfg = self._cfg
+        plane = self._plane
+
+        # params as a jit ARG: closed-over weights would be inlined as HLO
+        # constants — for HuBERT-large that is ~0.6 GB in the compile
+        # request, which a remote-compile tunnel rejects outright
         @jax.jit
-        def features(wav):  # (n_samples,)
-            h = hub.apply(self._params, self._cfg, wav[None, :])[0]  # (feat_len, hidden)
+        def features(params, wav):  # (n_samples,)
+            h = hub.apply(params, cfg, wav[None, :])[0]  # (feat_len, hidden)
             g = jnp.take(h, rows_dev.reshape(-1), axis=0).reshape(
-                self.batch_size, n_ctx, self._plane, self._plane
+                self.batch_size, n_ctx, plane, plane
             )
             return g.astype(jnp.float32)  # (B, n_ctx, 32, 32)
 
-        self._fn = features
+        self._fn = lambda wav: features(self._params, wav)
         self._zero = jnp.zeros(
             (self.batch_size, n_ctx, self._plane, self._plane), jnp.float32
         )

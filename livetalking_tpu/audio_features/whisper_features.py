@@ -44,15 +44,20 @@ class WhisperFeatures(BaseFeatureExtractor):
         n_ctx = rows.shape[1] * (self._cfg.num_layers + 1)  # 10 * 5 = 50
         D = self._cfg.d_model
 
+        cfg = self._cfg
+
+        # params enter as a jit ARG: a closed-over param tree would be
+        # inlined into the HLO as constants, growing the compile request
+        # by the full weight size (fatal behind a remote-compile tunnel)
         @jax.jit
-        def features(wav):  # (n_samples,) -> (B, 50, 384)
+        def features(params, wav):  # (n_samples,) -> (B, 50, 384)
             mel = log_mel_spectrogram(wav)[None]  # (1, 80, 3000)
-            states = we.apply_stacked(self._params, self._cfg, mel)[0]  # (1500, L+1, D)
+            states = we.apply_stacked(params, cfg, mel)[0]  # (1500, L+1, D)
             g = jnp.take(states, rows_dev.reshape(-1), axis=0)
             g = g.reshape(self.batch_size, n_ctx, D)
             return g.astype(jnp.float32)
 
-        self._fn = features
+        self._fn = lambda wav: features(self._params, wav)
         self._n_samples = n_samples
         self._zero = jnp.zeros((self.batch_size, n_ctx, D), jnp.float32)
         self.last_is_silence = True

@@ -44,8 +44,8 @@ _shared: dict = {"store": None, "scheduler": None}
 
 
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
-                         vae_params, vae_int8: bool,
-                         buckets=(1, 2, 4, 8)) -> tuple:
+                         unet_params, vae_params, vae_int8: bool,
+                         unet_int8: bool, buckets=(1, 2, 4, 8)) -> tuple:
     from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler, parse_buckets
 
     with _shared_lock:
@@ -54,13 +54,14 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
 
             def step_factory(n):
                 step = mt.make_infer_fn(model["unet_cfg"], n,
-                                        dtype=model["dtype"], vae_int8=vae_int8)
+                                        dtype=model["dtype"], vae_int8=vae_int8,
+                                        unet_int8=unet_int8)
 
                 def wrapped(params, buffer, idxs, whisper):
                     return step(params[0], params[1], buffer, idxs, whisper)
                 return wrapped
 
-            sched = BatchScheduler((model["unet_params"], vae_params), store,
+            sched = BatchScheduler((unet_params, vae_params), store,
                                    step_factory, batch_size, buckets=buckets)
             sched.start()
             _shared["store"] = store
@@ -221,19 +222,39 @@ class MuseReal(BaseAvatar):
                 logger.info("musetalk: int8 VAE decoder calibrated")
             self._vae_params = model["vae_params_q"]
 
+        self._unet_params = model["unet_params"]
+        use_unet_int8 = bool(getattr(opt, "unet_int8", False))
+        if use_unet_int8:
+            if "unet_params_q" not in model:  # shared across sessions
+                q = sd_unet.quantize_unet(model["unet_params"])
+                # calibrate on real avatar input latents + a unit-normal
+                # whisper-context proxy (PE added, as in the infer step)
+                zc = jnp.asarray(self.latent_cycle_device[:4]).astype(
+                    model["dtype"])
+                pe = jnp.asarray(mt.positional_encoding_table(
+                    50, model["unet_cfg"].cross_dim))
+                ctx = (jax.random.normal(jax.random.PRNGKey(0), (4, 50, 384))
+                       + pe).astype(model["dtype"])
+                tt = jnp.zeros((4,), jnp.float32)
+                model["unet_params_q"] = sd_unet.calibrate_unet(
+                    model["unet_params"], q, model["unet_cfg"], zc, tt, ctx)
+                logger.info("musetalk: int8 U-Net calibrated")
+            self._unet_params = model["unet_params_q"]
+
         self._scheduler = None
         self._store_offset = 0
         if getattr(opt, "coalesce", False):
             from livetalking_tpu.engine.scheduler import parse_buckets
 
             store, self._scheduler = get_shared_scheduler(
-                model, self.batch_size, self._vae_params, use_int8,
-                buckets=parse_buckets(opt))
+                model, self.batch_size, self._unet_params, self._vae_params,
+                use_int8, use_unet_int8, buckets=parse_buckets(opt))
             self._store_offset, _ = store.add(
                 avatar["avatar_id"], avatar["latent_cycle_host"])
         else:
             self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size,
-                                          dtype=model["dtype"], vae_int8=use_int8)
+                                          dtype=model["dtype"], vae_int8=use_int8,
+                                          unet_int8=use_unet_int8)
 
         # on-device composite with the per-frame feathered parse masks
         # (ops/pallas_blend.py MaskedDevicePasteBack)
@@ -266,7 +287,7 @@ class MuseReal(BaseAvatar):
         else:
             idxs = jnp.asarray(host_idxs)
             pred = self._step(
-                self.model["unet_params"], self._vae_params,
+                self._unet_params, self._vae_params,
                 self.latent_cycle_device, idxs, audiofeat_batch,
             )
         if self._device_paste is not None:

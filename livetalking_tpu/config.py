@@ -72,7 +72,12 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
              "scheduler (padding absorbs counts in between)")
     add("--vae_int8", action="store_true", default=False,
         help="musetalk: run the VAE decoder with calibrated W8A8 int8 "
-             "convs (sd_vae.decode_int8, ~18%% faster step; small "
+             "convs (sd_vae.decode_int8; with the channel-moment "
+             "GroupNorm this takes the decode from 91.8 to ~43 ms at "
+             "B=16 on v5e; small quantization error)")
+    add("--unet_int8", action="store_true", default=False,
+        help="musetalk: run the latent U-Net convs W8A8 int8 "
+             "(sd_unet.apply_int8; attention stays bf16; small "
              "quantization error)")
     add("--device_paste_back", action="store_true", default=False,
         help="composite predicted crops into full frames on device "

@@ -24,14 +24,32 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
-    """x (B, H, W, C); normalize per group over (H, W, C/groups)."""
+    """x (B, H, W, C); normalize per group over (H, W, C/groups).
+
+    Stats are computed as per-CHANNEL spatial moments first and then
+    combined exactly into group moments (sum and sum-of-squares are
+    additive). The naive reshape-to-(B,H,W,G,C/G)-and-reduce form makes
+    XLA materialize an f32 copy and run a strided 3-axis reduction; the
+    channel-moment form lowers to a plain fused spatial reduce plus a
+    (B, C)-sized epilogue — measured 74.7 -> 42.6 ms on the int8 MuseTalk
+    VAE decode at B=16 on one v5e chip (GN stats were 45% of the step).
+    """
     B, H, W, C = x.shape
-    xf = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
-    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(B, H, W, C)
-    return (xf * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+    n = H * W * (C // groups)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))               # (B, C)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))   # (B, C)
+    g1 = s1.reshape(B, groups, C // groups).sum(-1)
+    g2 = s2.reshape(B, groups, C // groups).sum(-1)
+    mu = g1 / n
+    var = g2 / n - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    mu_c = jnp.repeat(mu, C // groups, axis=-1)      # (B, C)
+    inv_c = jnp.repeat(inv, C // groups, axis=-1)
+    scale = inv_c * p["g"].astype(jnp.float32)[None]
+    shift = p["b"].astype(jnp.float32)[None] - mu_c * scale
+    y = xf * scale[:, None, None, :] + shift[:, None, None, :]
+    return y.astype(x.dtype)
 
 
 def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
@@ -145,6 +163,48 @@ def transformer_2d(p: Params, x: jnp.ndarray, ctx: jnp.ndarray, heads: int) -> j
 
     h = conv(p["proj_out"], h.reshape(B, H, W, C), padding=0)
     return h + res
+
+
+# ---------------------------------------------------------------------------
+# W8A8 int8 conv path (shared by the VAE decoder and the latent U-Net;
+# int8 MXU measured 372 vs 177 TFLOPs bf16 on v5e for the 3x3/512ch probe)
+# ---------------------------------------------------------------------------
+
+def quantize_conv(p: Params) -> Params:
+    """Per-output-channel symmetric int8 weight quantization."""
+    w = np.asarray(p["w"], np.float32)
+    scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+    wq = np.clip(np.round(w / scale[None, None, None, :]), -127, 127)
+    return {"wq": jnp.asarray(wq, jnp.int8),
+            "ws": jnp.asarray(scale, jnp.float32),
+            "b": jnp.asarray(np.asarray(p["b"], np.float32))}
+
+
+def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
+    """int8 conv; activation scale is a calibrated static scalar when
+    present (``as`` — lets XLA fuse the quantize into the preceding
+    elementwise ops), else computed dynamically (extra full pass).
+    Accumulate int32 on the MXU, dequantize + bias in f32."""
+    if "as" in pq:
+        sx = pq["as"]
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, pq["wq"], (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * pq["ws"]) + pq["b"]
+    return y.astype(x.dtype)
+
+
+def scale_of(x: jnp.ndarray, headroom: float = 1.25) -> jnp.ndarray:
+    """Static activation scale from a representative tensor (calibration)."""
+    return jnp.asarray(
+        float(jnp.max(jnp.abs(x.astype(jnp.float32)))) * headroom / 127.0
+        + 1e-8, jnp.float32)
 
 
 def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -37,15 +37,18 @@ def positional_encoding_table(seq_len: int, d_model: int = 384) -> np.ndarray:
 
 
 def make_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, ctx_len: int = 50,
-                  dtype=jnp.bfloat16, vae_int8: bool = False):
+                  dtype=jnp.bfloat16, vae_int8: bool = False,
+                  unet_int8: bool = False):
     """(unet_params, vae_params, latent_cycle (N,32,32,8), idxs (B,),
     whisper (B, ctx_len, 384)) -> (B, 256, 256, 3) uint8 BGR faces.
 
-    ``vae_int8``: run the VAE decoder with W8A8 int8 convs
-    (sd_vae.decode_int8, ~2x faster on the MXU); vae_params must then be
-    the ``sd_vae.quantize_decoder`` output."""
+    ``vae_int8`` / ``unet_int8``: run the VAE decoder / U-Net convs W8A8
+    (int8 MXU: measured 372 vs 177 TFLOPs bf16 on v5e); the corresponding
+    params must then be the quantize_decoder / quantize_unet outputs
+    (ideally calibrated)."""
     pe = jnp.asarray(positional_encoding_table(ctx_len, unet_cfg.cross_dim))
     decode = sd_vae.decode_int8 if vae_int8 else sd_vae.decode
+    unet_apply = sd_unet.apply_int8 if unet_int8 else sd_unet.apply
 
     @jax.jit
     def step(unet_params, vae_params, latent_cycle, idxs, whisper):
@@ -54,7 +57,7 @@ def make_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, ctx_len: int = 
         lat = jnp.take(latent_cycle, idxs, axis=0).astype(dtype)
         ctx = (whisper + pe).astype(dtype)
         t = jnp.zeros((whisper.shape[0],), jnp.float32)
-        pred = sd_unet.apply(unet_params, unet_cfg, lat, t, ctx)  # (B,32,32,4) f32
+        pred = unet_apply(unet_params, unet_cfg, lat, t, ctx)  # (B,32,32,4) f32
         img = decode(vae_params, pred.astype(dtype))  # (B,256,256,3) RGB [0,1]
         u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
         return u8[..., ::-1]  # RGB -> BGR (reference vae.py:115)
@@ -109,15 +112,17 @@ def encode_avatar_latents(vae_params, faces_bgr: np.ndarray, batch: int = 8) -> 
     half_mask = np.ones((256, 256, 1), np.float32)
     half_mask[128:] = 0.0
 
+    # params as a jit ARG (a closure would inline them as HLO constants,
+    # bloating the compile request by the full VAE encoder size)
     @jax.jit
-    def enc(img):
-        return sd_vae.encode(vae_params, img)
+    def enc(params, img):
+        return sd_vae.encode(params, img)
 
     out = []
     for s in range(0, N, batch):
         chunk = jnp.asarray(x[s : s + batch])
         masked = jnp.asarray(x[s : s + batch] * half_mask)
-        lat_ref = np.asarray(enc(chunk))
-        lat_masked = np.asarray(enc(masked))
+        lat_ref = np.asarray(enc(vae_params, chunk))
+        lat_masked = np.asarray(enc(vae_params, masked))
         out.append(np.concatenate([lat_masked, lat_ref], axis=-1))
     return np.concatenate(out, axis=0).astype(np.float32)

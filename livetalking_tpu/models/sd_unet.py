@@ -94,6 +94,132 @@ def apply(params: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray, ctx: 
 
 
 # ---------------------------------------------------------------------------
+# W8A8 int8 twin (convs quantized; attention/linears stay bf16 — the
+# transformer blocks are a small share of the U-Net's FLOPs at 32x32
+# latents and are accuracy-sensitive through softmax)
+# ---------------------------------------------------------------------------
+
+from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
+    conv_q,
+    quantize_conv,
+    scale_of,
+)
+
+
+def _q_resnet(rp: Params) -> Params:
+    out = {"norm1": rp["norm1"], "norm2": rp["norm2"],
+           "conv1": quantize_conv(rp["conv1"]),
+           "conv2": quantize_conv(rp["conv2"])}
+    if "time_emb_proj" in rp:
+        out["time_emb_proj"] = rp["time_emb_proj"]
+    if "conv_shortcut" in rp:
+        out["conv_shortcut"] = quantize_conv(rp["conv_shortcut"])
+    return out
+
+
+def _q_block(blk: Params) -> Params:
+    b: Params = {"resnets": [_q_resnet(rp) for rp in blk["resnets"]]}
+    if "attentions" in blk:
+        b["attentions"] = blk["attentions"]
+    if "down" in blk:
+        b["down"] = quantize_conv(blk["down"])
+    if "up" in blk:
+        b["up"] = quantize_conv(blk["up"])
+    return b
+
+
+def quantize_unet(params: Params) -> Params:
+    """One-time conversion of the U-Net convs to int8 (norms, time
+    embedding, and transformer blocks stay model-dtype)."""
+    return {
+        "conv_in": quantize_conv(params["conv_in"]),
+        "time1": params["time1"], "time2": params["time2"],
+        "down": [_q_block(b) for b in params["down"]],
+        "mid": {"r0": _q_resnet(params["mid"]["r0"]),
+                "attn": params["mid"]["attn"],
+                "r1": _q_resnet(params["mid"]["r1"])},
+        "up": [_q_block(b) for b in params["up"]],
+        "norm_out": params["norm_out"],
+        "conv_out": quantize_conv(params["conv_out"]),
+    }
+
+
+def _walk_int8(pq: Params, cfg: UNetConfig, x, t, ctx, full=None):
+    """Shared graph for apply_int8 (full=None) and calibrate_unet.
+
+    Calibration mode (``full`` = the full-precision tree) runs the exact
+    full-precision graph while recording each conv's activation scale
+    into the quantized tree ``pq``."""
+    cal = full is not None
+    pf = full if cal else pq
+
+    def cq(site_q, site_f, xx, stride=1, padding=1):
+        if cal:
+            site_q["as"] = scale_of(xx)
+            return conv(site_f, xx, stride=stride, padding=padding)
+        return conv_q(site_q, xx, stride=stride, padding=padding)
+
+    def resnet(rq, rf, h_in):
+        h = cq(rq["conv1"], rf["conv1"],
+               silu(group_norm(rf["norm1"], h_in, eps=cfg.norm_eps)))
+        if "time_emb_proj" in rf:
+            tproj = linear(rf["time_emb_proj"], silu(temb))
+            h = h + tproj[:, None, None, :].astype(h.dtype)
+        h = cq(rq["conv2"], rf["conv2"],
+               silu(group_norm(rf["norm2"], h, eps=cfg.norm_eps)))
+        sc = h_in
+        if "conv_shortcut" in rf:
+            sc = cq(rq["conv_shortcut"], rf["conv_shortcut"], h_in, padding=0)
+        return sc + h
+
+    temb = timestep_embedding(t, cfg.block_out[0])
+    temb = linear(pf["time2"], silu(linear(pf["time1"], temb.astype(x.dtype))))
+
+    h = cq(pq["conv_in"], pf["conv_in"], x)
+    skips: List[jnp.ndarray] = [h]
+    for bq, bf in zip(pq["down"], pf["down"]):
+        for j, (rq, rf) in enumerate(zip(bq["resnets"], bf["resnets"])):
+            h = resnet(rq, rf, h)
+            if "attentions" in bf:
+                h = transformer_2d(bf["attentions"][j], h, ctx, cfg.heads)
+            skips.append(h)
+        if "down" in bf:
+            h = cq(bq["down"], bf["down"], h, stride=2)
+            skips.append(h)
+
+    h = resnet(pq["mid"]["r0"], pf["mid"]["r0"], h)
+    h = transformer_2d(pf["mid"]["attn"], h, ctx, cfg.heads)
+    h = resnet(pq["mid"]["r1"], pf["mid"]["r1"], h)
+
+    for bq, bf in zip(pq["up"], pf["up"]):
+        for j, (rq, rf) in enumerate(zip(bq["resnets"], bf["resnets"])):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = resnet(rq, rf, h)
+            if "attentions" in bf:
+                h = transformer_2d(bf["attentions"][j], h, ctx, cfg.heads)
+        if "up" in bf:
+            h = cq(bq["up"], bf["up"], upsample_nearest2x(h))
+
+    a_out = silu(group_norm(pf["norm_out"], h, eps=cfg.norm_eps))
+    return cq(pq["conv_out"], pf["conv_out"], a_out).astype(jnp.float32)
+
+
+def apply_int8(params_q: Params, cfg: UNetConfig, x: jnp.ndarray,
+               t: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+    """int8 twin of ``apply``; params from quantize_unet (+ calibrate)."""
+    return _walk_int8(params_q, cfg, x, t, ctx)
+
+
+def calibrate_unet(params: Params, params_q: Params, cfg: UNetConfig,
+                   x: jnp.ndarray, t: jnp.ndarray, ctx: jnp.ndarray) -> Params:
+    """One-time static activation-scale calibration on representative
+    inputs: walks the full-precision graph, records per-site abs-max
+    scales into the quantized tree (mirrors sd_vae.calibrate_decoder)."""
+    _walk_int8(params_q, cfg, x, t, ctx, full=params)
+    return params_q
+
+
+# ---------------------------------------------------------------------------
 # channel bookkeeping shared by init and conversion
 # ---------------------------------------------------------------------------
 

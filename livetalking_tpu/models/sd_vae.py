@@ -83,35 +83,11 @@ def decode(params: Params, z: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _quantize_conv(p: Params) -> Params:
-    """Per-output-channel symmetric int8 weight quantization."""
-    w = np.asarray(p["w"], np.float32)
-    scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
-    wq = np.clip(np.round(w / scale[None, None, None, :]), -127, 127)
-    return {"wq": jnp.asarray(wq, jnp.int8),
-            "ws": jnp.asarray(scale, jnp.float32),
-            "b": jnp.asarray(np.asarray(p["b"], np.float32))}
-
-
-def _conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
-    """int8 conv; activation scale is a calibrated static scalar when
-    present (``as`` — lets XLA fuse the quantize into the preceding
-    elementwise ops; a dynamic abs-max reduction would cost an extra full
-    pass over the tensor), else computed dynamically. Accumulate int32 on
-    the MXU, dequantize + bias in f32."""
-    if "as" in pq:
-        sx = pq["as"]
-    else:
-        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        xq, pq["wq"], (stride, stride),
-        ((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (sx * pq["ws"]) + pq["b"]
-    return y.astype(x.dtype)
+# int8 primitives live in diffusion_blocks (shared with the U-Net path)
+from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
+    conv_q as _conv_q,
+    quantize_conv as _quantize_conv,
+)
 
 
 def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -155,10 +131,10 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
     decoder on representative latents and store per-site static scales
     (abs-max * headroom / 127) into the quantized tree. Mirrors
     ``decode``'s graph exactly."""
+    from livetalking_tpu.models.diffusion_blocks import scale_of as _sof
+
     def scale_of(x):
-        return jnp.asarray(
-            float(jnp.max(jnp.abs(x.astype(jnp.float32)))) * headroom / 127.0
-            + 1e-8, jnp.float32)
+        return _sof(x, headroom)
 
     def cal_resnet(rp, rq, x, eps=1e-6):
         a1 = silu(group_norm(rp["norm1"], x, eps=eps))

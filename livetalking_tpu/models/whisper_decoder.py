@@ -143,7 +143,7 @@ def make_greedy_decode(params: Params, cfg: WhisperDecoderConfig,
     (tokens (B,max_new), n_valid (B,)). Greedy, stops at EOT (device-side
     while_loop; stopped rows keep emitting EOT)."""
 
-    def fn(enc, prompt):
+    def fn(params, enc, prompt):
         B = prompt.shape[0]
         H, D = cfg.num_heads, cfg.d_model
         hd = D // H
@@ -190,7 +190,10 @@ def make_greedy_decode(params: Params, cfg: WhisperDecoderConfig,
         n_valid = jnp.sum(out != cfg.eot, axis=-1)
         return out, n_valid
 
-    return jax.jit(fn)
+    # params are a jit ARG (closed-over weights would be inlined into the
+    # HLO as constants, bloating the compile request by the weight size)
+    jfn = jax.jit(fn)
+    return lambda enc, prompt: jfn(params, enc, prompt)
 
 
 def init_params(key: jax.Array, cfg: WhisperDecoderConfig = TINY_DECODER,

@@ -68,39 +68,43 @@ class WhisperJaxSTT:
 
         enc_cfg = we.TINY
 
+        dec_cfg = self._cfg
+
+        # weights enter the jitted fns as ARGS — closed-over param trees
+        # would be inlined into the HLO as constants, growing every compile
+        # request by the full weight size (slow/fatal over a remote tunnel)
         @jax.jit
-        def encode(audio):
+        def encode(params, audio):
             mel = log_mel_spectrogram(audio)[None]  # (1, 80, 3000)
-            stacked = we.apply_stacked(enc_params, enc_cfg,
-                                       mel.astype(dtype))
+            stacked = we.apply_stacked(params, enc_cfg, mel.astype(dtype))
             return stacked[:, :, -1, :]  # final hidden state (1, 1500, D)
 
-        self._encode = encode
+        self._encode = lambda audio: encode(enc_params, audio)
         self._decode = wd.make_greedy_decode(dec_params, self._cfg,
                                              max_new=max_new, dtype=dtype)
 
         # language-detect step: logits from <|sot|> alone, masked to the
         # language-token block
         @jax.jit
-        def detect_lang(enc):
+        def detect_lang(params, enc):
             import jax.numpy as jnp  # noqa: F811
 
-            cross_kv = wd.precompute_cross_kv(dec_params, self._cfg, enc)
-            H = self._cfg.num_heads
-            hd = self._cfg.d_model // H
+            cross_kv = wd.precompute_cross_kv(params, dec_cfg, enc)
+            H = dec_cfg.num_heads
+            hd = dec_cfg.d_model // H
             caches = [(jnp.zeros((1, H, 2, hd), dtype),
                        jnp.zeros((1, H, 2, hd), dtype))
-                      for _ in range(self._cfg.num_layers)]
+                      for _ in range(dec_cfg.num_layers)]
             logits, _ = wd.decode_step(
-                dec_params, self._cfg,
-                jnp.asarray([self._cfg.sot], jnp.int32),
+                params, dec_cfg,
+                jnp.asarray([dec_cfg.sot], jnp.int32),
                 jnp.int32(0), caches, cross_kv)
-            ids = jnp.arange(self._cfg.vocab_size)
+            ids = jnp.arange(dec_cfg.vocab_size)
             # language tokens end at task_transcribe-2; task_transcribe-1 is <|translate|>
-            is_lang = (ids >= self._cfg.lang_en) & (ids < self._cfg.task_transcribe - 1)
+            is_lang = (ids >= dec_cfg.lang_en) & (ids < dec_cfg.task_transcribe - 1)
             return jnp.argmax(jnp.where(is_lang[None], logits, -jnp.inf), -1)
 
-        self._detect_lang = detect_lang
+        self._detect_lang = lambda enc: detect_lang(dec_params, enc)
         logger.info("[ASR] WhisperJaxSTT ready in %.1fs (weights: %s)",
                     time.perf_counter() - t0, wdir)
 

@@ -83,14 +83,16 @@ def whisper_windows(audio: np.ndarray, whisper_params, whisper_cfg=None,
     rows = clamp_window_indices(F, cfg.max_positions, (0, 5), start=0,
                                 multiplier=2.0)  # (F, 10)
 
+    # params enter as a jit ARG — closed-over arrays would be inlined as
+    # HLO constants, bloating the compile request by the full weight size
     @jax.jit
-    def run(wav):
+    def run(params, wav):
         mel = log_mel_spectrogram(wav)[None]
-        states = we.apply_stacked(whisper_params, cfg, mel)[0]  # (1500,L+1,D)
+        states = we.apply_stacked(params, cfg, mel)[0]  # (1500, L+1, D)
         g = jnp.take(states, jnp.asarray(rows).reshape(-1), axis=0)
         return g.reshape(F, -1, cfg.d_model).astype(jnp.float32)
 
-    return np.asarray(run(jnp.asarray(audio)))
+    return np.asarray(run(whisper_params, jnp.asarray(audio)))
 
 
 def hubert_windows(audio: np.ndarray, hubert_params, hubert_cfg=None,
@@ -108,14 +110,16 @@ def hubert_windows(audio: np.ndarray, hubert_params, hubert_cfg=None,
     rows = clamp_window_indices(F, feat_len, (4, 4), start=0, multiplier=2.0)
     plane = int(np.sqrt(cfg.hidden_size))
 
+    # params as a jit ARG (see whisper_windows: closures inline weights
+    # as HLO constants)
     @jax.jit
-    def run(wav):
-        h = hub.apply(hubert_params, cfg, wav[None, :])[0]  # (feat_len, H)
+    def run(params, wav):
+        h = hub.apply(params, cfg, wav[None, :])[0]  # (feat_len, H)
         g = jnp.take(h, jnp.asarray(rows).reshape(-1), axis=0)
         g = g.reshape(F, rows.shape[1], plane, plane)
         return jnp.transpose(g, (0, 2, 3, 1)).astype(jnp.float32)
 
-    return np.asarray(run(jnp.asarray(audio)))
+    return np.asarray(run(hubert_params, jnp.asarray(audio)))
 
 
 # ---------------------------------------------------------------------------

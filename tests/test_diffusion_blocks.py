@@ -231,3 +231,50 @@ def test_vae_int8_infer_fn_path():
     step = mt.make_infer_fn(cfg, B, dtype=jnp.float32, vae_int8=True)
     out = step(up, vq, cycle, idxs, whisper)
     assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
+
+
+def test_unet_int8_calibrated_close_to_full():
+    """quantize_unet + calibrate_unet + apply_int8: int8 twin tracks the
+    full-precision U-Net within W8A8 tolerance (random weights are the
+    worst case for per-tensor activation scales)."""
+    import numpy as np
+
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    p = sd_unet.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 8)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 50, 384)).astype(np.float32))
+
+    ref = np.asarray(sd_unet.apply(p, cfg, x, t, ctx))
+    q = sd_unet.quantize_unet(p)
+    q = sd_unet.calibrate_unet(p, q, cfg, x, t, ctx)
+    got = np.asarray(jax.jit(sd_unet.apply_int8,
+                             static_argnums=1)(q, cfg, x, t, ctx))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 0.3, rel
+
+
+def test_unet_int8_infer_fn_path():
+    """make_infer_fn(unet_int8=True, vae_int8=True): both quantized."""
+    import numpy as np
+
+    from livetalking_tpu.models import musetalk as mt
+
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    p = sd_unet.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    vp = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+    vq = sd_vae.quantize_decoder(vp)
+    rng = np.random.default_rng(1)
+    B = 2
+    cycle = jnp.asarray(rng.standard_normal((3, 8, 8, 8)).astype(np.float32))
+    x = jnp.take(cycle, jnp.asarray([0, 2]), axis=0)
+    t = jnp.zeros((B,), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 50, 384)).astype(np.float32))
+    uq = sd_unet.calibrate_unet(p, sd_unet.quantize_unet(p), cfg, x, t, ctx)
+
+    step = mt.make_infer_fn(cfg, B, dtype=jnp.float32, vae_int8=True,
+                            unet_int8=True)
+    out = step(uq, vq, cycle, jnp.asarray([0, 2], jnp.int32), ctx)
+    assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
