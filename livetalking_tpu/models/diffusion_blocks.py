@@ -200,13 +200,6 @@ def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp
     return y.astype(x.dtype)
 
 
-def scale_of(x: jnp.ndarray, headroom: float = 1.25) -> jnp.ndarray:
-    """Static activation scale from a representative tensor (calibration)."""
-    return jnp.asarray(
-        float(jnp.max(jnp.abs(x.astype(jnp.float32)))) * headroom / 127.0
-        + 1e-8, jnp.float32)
-
-
 def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))

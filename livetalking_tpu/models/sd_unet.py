@@ -102,7 +102,6 @@ def apply(params: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray, ctx: 
 from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
     conv_q,
     quantize_conv,
-    scale_of,
 )
 
 
@@ -144,18 +143,20 @@ def quantize_unet(params: Params) -> Params:
     }
 
 
-def _walk_int8(pq: Params, cfg: UNetConfig, x, t, ctx, full=None):
+def _walk_int8(pq: Params, cfg: UNetConfig, x, t, ctx, full=None, rec=None):
     """Shared graph for apply_int8 (full=None) and calibrate_unet.
 
-    Calibration mode (``full`` = the full-precision tree) runs the exact
-    full-precision graph while recording each conv's activation scale
-    into the quantized tree ``pq``."""
+    Calibration mode (``full`` = the full-precision tree, ``rec`` = an
+    output list) runs the exact full-precision graph while appending each
+    conv site's activation-scale scalar to ``rec`` in traversal order
+    (pure graph — jittable; see calibrate_unet)."""
     cal = full is not None
     pf = full if cal else pq
 
     def cq(site_q, site_f, xx, stride=1, padding=1):
         if cal:
-            site_q["as"] = scale_of(xx)
+            rec.append(jnp.max(jnp.abs(xx.astype(jnp.float32))) * 1.25
+                       / 127.0 + 1e-8)
             return conv(site_f, xx, stride=stride, padding=padding)
         return conv_q(site_q, xx, stride=stride, padding=padding)
 
@@ -213,9 +214,43 @@ def apply_int8(params_q: Params, cfg: UNetConfig, x: jnp.ndarray,
 def calibrate_unet(params: Params, params_q: Params, cfg: UNetConfig,
                    x: jnp.ndarray, t: jnp.ndarray, ctx: jnp.ndarray) -> Params:
     """One-time static activation-scale calibration on representative
-    inputs: walks the full-precision graph, records per-site abs-max
-    scales into the quantized tree (mirrors sd_vae.calibrate_decoder)."""
-    _walk_int8(params_q, cfg, x, t, ctx, full=params)
+    inputs: one jitted full-precision walk emitting every site's abs-max
+    scale, one host fetch, then a structural assignment pass (mirrors
+    sd_vae.calibrate_decoder; a per-site-blocking eager walk costs a
+    device round-trip per conv)."""
+    def walk(pf, xx, tt, cc):
+        rec: List[jnp.ndarray] = []
+        _walk_int8(params_q, cfg, xx, tt, cc, full=pf, rec=rec)
+        return rec
+
+    scales = iter(jax.device_get(jax.jit(walk)(params, x, t, ctx)))
+
+    def nxt():
+        return jnp.asarray(float(next(scales)), jnp.float32)
+
+    def assign_resnet(rq):
+        rq["conv1"]["as"] = nxt()
+        rq["conv2"]["as"] = nxt()
+        if "conv_shortcut" in rq:
+            rq["conv_shortcut"]["as"] = nxt()
+
+    # mirrors _walk_int8's cq call order exactly
+    params_q["conv_in"]["as"] = nxt()
+    for bq in params_q["down"]:
+        for rq in bq["resnets"]:
+            assign_resnet(rq)
+        if "down" in bq:
+            bq["down"]["as"] = nxt()
+    assign_resnet(params_q["mid"]["r0"])
+    assign_resnet(params_q["mid"]["r1"])
+    for bq in params_q["up"]:
+        for rq in bq["resnets"]:
+            assign_resnet(rq)
+        if "up" in bq:
+            bq["up"]["as"] = nxt()
+    params_q["conv_out"]["as"] = nxt()
+    leftover = sum(1 for _ in scales)
+    assert leftover == 0, f"scale walk/assign mismatch: {leftover} extra"
     return params_q
 
 

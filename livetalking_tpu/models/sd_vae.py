@@ -125,26 +125,27 @@ def quantize_decoder(params: Params) -> Params:
     return q
 
 
-def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
-                      headroom: float = 1.25) -> Params:
-    """One-time activation-scale calibration: walk the full-precision
-    decoder on representative latents and store per-site static scales
-    (abs-max * headroom / 127) into the quantized tree. Mirrors
-    ``decode``'s graph exactly."""
-    from livetalking_tpu.models.diffusion_blocks import scale_of as _sof
+def _decode_scale_walk(params: Params, z: jnp.ndarray, headroom: float):
+    """Full-precision decode traversal that emits one activation-scale
+    scalar per quantized conv site (resnet order conv1, conv2, shortcut;
+    then the block upsampler; dec_conv_out last). Pure graph — jitted by
+    calibrate_decoder so the whole calibration is ONE compiled program
+    and ONE host fetch instead of a blocking device sync per site."""
+    rec = []
 
-    def scale_of(x):
-        return _sof(x, headroom)
+    def sof(x):
+        rec.append(jnp.max(jnp.abs(x.astype(jnp.float32))) * headroom / 127.0
+                   + 1e-8)
 
-    def cal_resnet(rp, rq, x, eps=1e-6):
+    def cal_resnet(rp, x, eps=1e-6):
         a1 = silu(group_norm(rp["norm1"], x, eps=eps))
-        rq["conv1"]["as"] = scale_of(a1)
+        sof(a1)
         h = conv(rp["conv1"], a1)
         a2 = silu(group_norm(rp["norm2"], h, eps=eps))
-        rq["conv2"]["as"] = scale_of(a2)
+        sof(a2)
         h = conv(rp["conv2"], a2)
         if "conv_shortcut" in rp:
-            rq["conv_shortcut"]["as"] = scale_of(x)
+            sof(x)
             x = conv(rp["conv_shortcut"], x, padding=0)
         return x + h
 
@@ -154,15 +155,44 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
     h = resnet_block(params["dec_mid"]["r0"], h)
     h = spatial_attention(params["dec_mid"]["attn"], h)
     h = resnet_block(params["dec_mid"]["r1"], h)
-    for blk, blkq in zip(params["dec_up"], params_q["dec_up"]):
-        for rp, rq in zip(blk["resnets"], blkq["resnets"]):
-            h = cal_resnet(rp, rq, h)
+    for blk in params["dec_up"]:
+        for rp in blk["resnets"]:
+            h = cal_resnet(rp, h)
         if "up" in blk:
             up = upsample_nearest2x(h)
-            blkq["up"]["as"] = scale_of(up)
+            sof(up)
             h = conv(blk["up"], up)
     a_out = silu(group_norm(params["dec_norm_out"], h))
-    params_q["dec_conv_out"]["as"] = scale_of(a_out)
+    sof(a_out)
+    return rec
+
+
+def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
+                      headroom: float = 1.25) -> Params:
+    """One-time activation-scale calibration: run the full-precision
+    decoder on representative latents and store per-site static scales
+    (abs-max * headroom / 127) into the quantized tree. One jitted
+    program + one fetch (the per-site-blocking eager walk took minutes
+    behind a high-RTT device link and seconds of session-startup time
+    on direct-attached chips)."""
+    walk = jax.jit(_decode_scale_walk, static_argnums=2)
+    scales = iter(jax.device_get(walk(params, z, headroom)))
+
+    def nxt():
+        return jnp.asarray(float(next(scales)), jnp.float32)
+
+    # assignment mirrors _decode_scale_walk's traversal order exactly
+    for blk in params_q["dec_up"]:
+        for rq in blk["resnets"]:
+            rq["conv1"]["as"] = nxt()
+            rq["conv2"]["as"] = nxt()
+            if "conv_shortcut" in rq:
+                rq["conv_shortcut"]["as"] = nxt()
+        if "up" in blk:
+            blk["up"]["as"] = nxt()
+    params_q["dec_conv_out"]["as"] = nxt()
+    leftover = sum(1 for _ in scales)
+    assert leftover == 0, f"scale walk/assign mismatch: {leftover} extra"
     return params_q
 
 
