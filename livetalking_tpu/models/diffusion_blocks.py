@@ -94,7 +94,12 @@ def resnet_block(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
 
 
 def spatial_attention(p: Params, x: jnp.ndarray, heads: int = 1, eps: float = 1e-6) -> jnp.ndarray:
-    """VAE mid-block attention: GN -> single-head attention over H*W -> +res."""
+    """VAE mid-block attention: GN -> single-head attention over H*W -> +res.
+    Self-attention over <=1024 tokens takes the single-tile VMEM kernel on
+    TPU (ops/pallas_attention) — XLA's einsum path is HBM-bound on the
+    (B, heads, T, T) f32 score tensor."""
+    from livetalking_tpu.ops.pallas_attention import vmem_attention
+
     B, H, W, C = x.shape
     h = group_norm(p["group_norm"], x, eps=eps).reshape(B, H * W, C)
     q, k, v = linear(p["q"], h), linear(p["k"], h), linear(p["v"], h)
@@ -103,17 +108,18 @@ def spatial_attention(p: Params, x: jnp.ndarray, heads: int = 1, eps: float = 1e
     def split(t):
         return t.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
 
-    q, k, v = split(q), split(k), split(v)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd ** -0.5)
-    a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o = vmem_attention(split(q), split(k), split(v), hd ** -0.5)
     o = o.transpose(0, 2, 1, 3).reshape(B, H * W, C)
     return x + linear(p["o"], o).reshape(B, H, W, C)
 
 
 def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int) -> jnp.ndarray:
     """BasicTransformerBlock attention (to_q/k/v without bias, to_out with).
-    x (B, T, C); ctx (B, S, D) for cross-attention, else self."""
+    x (B, T, C); ctx (B, S, D) for cross-attention, else self. Self-
+    attention uses the single-tile VMEM kernel on TPU; cross-attention's
+    score tensor is tiny (kv = 50 whisper tokens) so einsum stays."""
+    from livetalking_tpu.ops.pallas_attention import attention_xla, vmem_attention
+
     B, T, C = x.shape
     kv_src = x if ctx is None else ctx
     q = linear(p["q"], x)
@@ -124,10 +130,8 @@ def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int)
     def split(t):
         return t.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
 
-    q, k, v = split(q), split(k), split(v)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd ** -0.5)
-    a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    core = vmem_attention if ctx is None else attention_xla
+    o = core(split(q), split(k), split(v), hd ** -0.5)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, C)
     return linear(p["o"], o)
 
