@@ -116,7 +116,7 @@ def load_plugin_stack(options):
         mod.warm_up(opt.batch_size, model, 256)
     elif opt.model == "musetalk":
         model = mod.load_model(opt)
-        mod.warm_up(opt.batch_size, model)
+        mod.warm_up(opt.batch_size, model, 256, opt)
     elif opt.model == "ultralight":
         model = mod.load_model(opt)
         mod.warm_up(opt.batch_size, model, 160)

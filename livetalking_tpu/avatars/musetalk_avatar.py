@@ -49,6 +49,8 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
     from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler, parse_buckets
 
     with _shared_lock:
+        cfg = {"batch_size": batch_size, "vae_int8": vae_int8,
+               "unet_int8": unet_int8, "buckets": tuple(buckets)}
         if _shared["scheduler"] is None:
             store = AvatarStore(item_shape=(32, 32, 8), dtype=np.float32)
 
@@ -66,6 +68,14 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
             sched.start()
             _shared["store"] = store
             _shared["scheduler"] = sched
+            _shared["config"] = cfg
+        elif _shared.get("config") != cfg:
+            # the process-wide scheduler is built once from the FIRST
+            # session's flags; later sessions run with that configuration
+            logger.warning(
+                "coalesce: shared scheduler already running with %s; "
+                "ignoring this session's differing config %s",
+                _shared.get("config"), cfg)
         return _shared["store"], _shared["scheduler"]
 
 
@@ -173,13 +183,43 @@ def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
     }
 
 
-def warm_up(batch_size: int, model: Dict[str, Any], modelres: int = 256) -> None:
-    logger.info("warmup musetalk model...")
-    step = mt.make_infer_fn(model["unet_cfg"], batch_size, dtype=model["dtype"])
+def _with_dummy_scales(tree):
+    """Give every quantized conv site a placeholder activation scale so a
+    warm-up compile produces the same (static-scale) program the
+    calibrated params will run; calibrated trees swap in compile-free."""
+    if isinstance(tree, dict):
+        out = {k: _with_dummy_scales(v) for k, v in tree.items()}
+        if "wq" in out:
+            out["as"] = jnp.asarray(1.0, jnp.float32)
+        return out
+    if isinstance(tree, list):
+        return [_with_dummy_scales(v) for v in tree]
+    return tree
+
+
+def warm_up(batch_size: int, model: Dict[str, Any], modelres: int = 256,
+            opt=None) -> None:
+    """Compile the EXACT program sessions will run: the int8 flags change
+    the jitted graph, so warm with quantized trees (dummy scales) when
+    the flags are on — otherwise the first utterance pays the compile."""
+    vae_int8 = bool(getattr(opt, "vae_int8", False))
+    unet_int8 = bool(getattr(opt, "unet_int8", False))
+    logger.info("warmup musetalk model... (vae_int8=%s unet_int8=%s)",
+                vae_int8, unet_int8)
+    step = mt.make_infer_fn(model["unet_cfg"], batch_size,
+                            dtype=model["dtype"], vae_int8=vae_int8,
+                            unet_int8=unet_int8)
+    up = model["unet_params"]
+    vp = model["vae_params"]
+    if unet_int8:
+        up = _with_dummy_scales(sd_unet.quantize_unet(up))
+    if vae_int8:
+        vp = _with_dummy_scales(sd_vae.quantize_decoder(vp))
     cycle = jnp.zeros((1, 32, 32, 8), jnp.float32)
     idxs = jnp.zeros((batch_size,), jnp.int32)
-    whisper = jnp.zeros((batch_size, 50, 384), jnp.float32)
-    step(model["unet_params"], model["vae_params"], cycle, idxs, whisper).block_until_ready()
+    whisper = jnp.zeros((batch_size, 50, model["unet_cfg"].cross_dim),
+                        jnp.float32)
+    step(up, vp, cycle, idxs, whisper).block_until_ready()
 
 
 def blend_face(body: np.ndarray, face: np.ndarray, face_box, mask: np.ndarray, crop_box) -> np.ndarray:
@@ -227,17 +267,43 @@ class MuseReal(BaseAvatar):
         if use_unet_int8:
             if "unet_params_q" not in model:  # shared across sessions
                 q = sd_unet.quantize_unet(model["unet_params"])
-                # calibrate on real avatar input latents + a unit-normal
-                # whisper-context proxy (PE added, as in the infer step)
-                zc = jnp.asarray(self.latent_cycle_device[:4]).astype(
+                # calibrate on real avatar input latents + a whisper
+                # context with REAL encoder statistics: encode 1 s of
+                # noise through the model's own whisper encoder and take
+                # runtime-layout windows (position-major, layer-fast =
+                # 10 positions x 5 layer-states per 50-row window, the
+                # exact gather whisper_features.py performs). A unit-
+                # normal proxy under-estimates the activation scales at
+                # the cross-attention-fed sites and clips at runtime.
+                ucfg = model["unet_cfg"]
+                nb = min(4, self._n_frames)
+                zc = jnp.asarray(self.latent_cycle_device[:nb]).astype(
                     model["dtype"])
                 pe = jnp.asarray(mt.positional_encoding_table(
-                    50, model["unet_cfg"].cross_dim))
-                ctx = (jax.random.normal(jax.random.PRNGKey(0), (4, 50, 384))
-                       + pe).astype(model["dtype"])
-                tt = jnp.zeros((4,), jnp.float32)
+                    50, ucfg.cross_dim))
+                wcfg = model["whisper_cfg"]
+                if wcfg.d_model == ucfg.cross_dim:
+                    from livetalking_tpu.ops.whisper_mel import (
+                        log_mel_spectrogram,
+                    )
+
+                    @jax.jit
+                    def _enc(params, w):
+                        mel = log_mel_spectrogram(w)[None]
+                        return we.apply_stacked(params, wcfg, mel)[0]
+
+                    wav = jax.random.normal(jax.random.PRNGKey(0),
+                                            (16000,)) * 0.1
+                    states = _enc(model["whisper_params"], wav)
+                    flat = states.reshape(-1, wcfg.d_model)
+                    ctx = flat[: nb * 50].reshape(nb, 50, wcfg.d_model)
+                else:  # mismatched custom config: magnitude-only proxy
+                    ctx = jax.random.normal(jax.random.PRNGKey(0),
+                                            (nb, 50, ucfg.cross_dim))
+                ctx = (ctx + pe).astype(model["dtype"])
+                tt = jnp.zeros((nb,), jnp.float32)
                 model["unet_params_q"] = sd_unet.calibrate_unet(
-                    model["unet_params"], q, model["unet_cfg"], zc, tt, ctx)
+                    model["unet_params"], q, ucfg, zc, tt, ctx)
                 logger.info("musetalk: int8 U-Net calibrated")
             self._unet_params = model["unet_params_q"]
 

@@ -42,7 +42,9 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int = 32, eps: float = 1e-6) -
     g1 = s1.reshape(B, groups, C // groups).sum(-1)
     g2 = s2.reshape(B, groups, C // groups).sum(-1)
     mu = g1 / n
-    var = g2 / n - mu * mu
+    # one-pass E[x^2] - E[x]^2 can go slightly negative from f32
+    # cancellation when |mean| >> std; clamp before rsqrt
+    var = jnp.maximum(g2 / n - mu * mu, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     mu_c = jnp.repeat(mu, C // groups, axis=-1)      # (B, C)
     inv_c = jnp.repeat(inv, C // groups, axis=-1)

@@ -52,15 +52,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def vmem_attention_fits(T: int, D: int) -> bool:
+def vmem_attention_fits(T: int, D: int, itemsize: int = 2) -> bool:
     """True when the single-tile kernel's working set fits VMEM AND the
     sequence is long enough for the HBM-traffic win to matter (short-T
     score tensors are small; XLA's einsum path is already fine there and
-    skipping the kernel keeps compiled programs lean)."""
+    skipping the kernel keeps compiled programs lean). ``itemsize`` is
+    the q/k/v dtype width in bytes (scores/exp are always f32)."""
     if T < 512:
         return False
     Dp = _round_up(max(D, 1), 128)
-    tiles = 4 * T * Dp * 2
+    tiles = 4 * T * Dp * itemsize
     scores = 2 * T * T * 4
     return tiles + scores <= _VMEM_BUDGET
 
@@ -86,25 +87,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
     o_ref[0] = jnp.dot(a, v, preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   sm_scale: float, *,
-                   interpret: bool = False,
-                   use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Dense non-causal attention, (B, H, T, D) x3 -> (B, H, T, D).
-
-    Takes the single-tile Pallas path on TPU when the working set fits
-    VMEM (vmem_attention_fits), else the XLA twin. ``use_pallas``
-    overrides the auto-selection; ``interpret=True`` runs the kernel on
-    CPU for tests.
-    """
+def _pallas_forward(q, k, v, sm_scale: float, interpret: bool):
     B, H, T, D = q.shape
-    if use_pallas is None:
-        use_pallas = (pl is not None and not interpret
-                      and jax.default_backend() == "tpu"
-                      and vmem_attention_fits(T, D))
-    if not (use_pallas or interpret):
-        return attention_xla(q, k, v, sm_scale)
-
     Dp = _round_up(D, 128)
     pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
 
@@ -120,3 +104,54 @@ def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(prep(q), prep(k), prep(v))
     return out.reshape(B, H, T, Dp)[..., :D]
+
+
+# pallas_call has no VJP rule, so the kernel carries a custom one: the
+# backward pass recomputes scores/softmax in XLA f32 (standard attention
+# backward) — training through sd_unet.apply / sd_vae.decode on TPU
+# differentiates cleanly while inference keeps the kernel forward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attn_pallas(q, k, v, sm_scale: float, interpret: bool):
+    return _pallas_forward(q, k, v, sm_scale, interpret)
+
+
+def _attn_pallas_fwd(q, k, v, sm_scale, interpret):
+    return _pallas_forward(q, k, v, sm_scale, interpret), (q, k, v)
+
+
+def _attn_pallas_bwd(sm_scale, interpret, res, do):
+    q, k, v = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    a = jax.nn.softmax(s, axis=-1)  # f32
+    do_f = do.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", a, do_f)
+    da = jnp.einsum("bhqd,bhkd->bhqk", do_f, v.astype(jnp.float32))
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * sm_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * sm_scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_attn_pallas.defvjp(_attn_pallas_fwd, _attn_pallas_bwd)
+
+
+def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   sm_scale: float, *,
+                   interpret: bool = False,
+                   use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Dense non-causal attention, (B, H, T, D) x3 -> (B, H, T, D).
+
+    Takes the single-tile Pallas path on TPU when the working set fits
+    VMEM (vmem_attention_fits), else the XLA twin. ``use_pallas``
+    overrides the auto-selection; ``interpret=True`` runs the kernel on
+    CPU for tests. Differentiable either way (custom VJP on the kernel).
+    """
+    B, H, T, D = q.shape
+    if use_pallas is None:
+        use_pallas = (pl is not None and not interpret
+                      and jax.default_backend() == "tpu"
+                      and vmem_attention_fits(T, D, q.dtype.itemsize))
+    if not (use_pallas or interpret):
+        return attention_xla(q, k, v, sm_scale)
+    return _attn_pallas(q, k, v, sm_scale, interpret)

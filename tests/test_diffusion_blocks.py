@@ -278,3 +278,35 @@ def test_unet_int8_infer_fn_path():
                             unet_int8=True)
     out = step(uq, vq, cycle, jnp.asarray([0, 2], jnp.int32), ctx)
     assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
+
+
+def test_group_norm_no_nan_for_large_mean(rng):
+    """One-pass variance cancellation (mean >> std) must not produce NaN
+    through rsqrt (var is clamped at 0)."""
+    x = (300.0 + 0.01 * rng.standard_normal((2, 8, 8, 32))).astype(np.float32)
+    p = {"g": np.ones(32, np.float32), "b": np.zeros(32, np.float32)}
+    y = np.asarray(db.group_norm(_j(p), jnp.asarray(x), groups=4))
+    assert np.isfinite(y).all()
+
+
+def test_warmup_dummy_scales_match_calibrated_structure(rng):
+    """_with_dummy_scales(quantize(p)) must have the SAME pytree structure
+    as a calibrated tree — that is what lets warm_up's compile be reused
+    by the calibrated params without a recompile."""
+    from livetalking_tpu.avatars.musetalk_avatar import _with_dummy_scales
+
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
+    p = sd_unet.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 8)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 50, 384)).astype(np.float32))
+    calibrated = sd_unet.calibrate_unet(p, sd_unet.quantize_unet(p), cfg,
+                                        x, t, ctx)
+    dummy = _with_dummy_scales(sd_unet.quantize_unet(p))
+    assert (jax.tree.structure(dummy) == jax.tree.structure(calibrated))
+
+    vp = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+    z = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    vcal = sd_vae.calibrate_decoder(vp, sd_vae.quantize_decoder(vp), z)
+    vdummy = _with_dummy_scales(sd_vae.quantize_decoder(vp))
+    assert (jax.tree.structure(vdummy) == jax.tree.structure(vcal))
