@@ -53,7 +53,16 @@ def default_mesh_for(n_devices: int) -> Mesh:
     """Factor n into a dp x tp mesh (tp=2 when even) — the sensible default
     for the conv-heavy lip-sync models: batch parallel first, channel
     parallel second."""
-    devices = jax.devices()[:n_devices]
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"default_mesh_for({n_devices}): backend has only "
+            f"{len(devices)} device(s); provision a virtual CPU mesh first "
+            "(JAX_PLATFORMS=cpu + "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}, "
+            "set before the JAX backend initializes)"
+        )
+    devices = devices[:n_devices]
     tp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
     dp = n_devices // tp
     arr = np.asarray(devices).reshape(dp, tp)
