@@ -43,8 +43,11 @@ def n_video_frames(n_samples: int, fps: int = FPS) -> int:
 
 def mel_windows(audio: np.ndarray, fps: int = FPS) -> np.ndarray:
     """(n_samples,) float32 -> (F, 80, 16) mel windows, the wav2lip
-    training alignment: window i starts at mel column round(i * 80/fps)
-    (reference avatars/audio_features/mel.py:52-63 slicing, offline)."""
+    training alignment: window i starts at mel column int(i * 80/fps)
+    (floor — the same truncation as the serving slicer ops/mel.py and the
+    reference avatars/audio_features/mel.py ``int(left + i *
+    mel_idx_multiplier)``, so training sees the identical feature
+    distribution the streaming pipeline feeds at serve time)."""
     import jax.numpy as jnp
 
     from livetalking_tpu.ops import mel as melops
@@ -53,7 +56,7 @@ def mel_windows(audio: np.ndarray, fps: int = FPS) -> np.ndarray:
     m = np.asarray(melops.melspectrogram(jnp.asarray(audio)))  # (80, T)
     T = m.shape[1]
     mult = 80.0 / fps
-    starts = np.minimum((np.arange(F) * mult).round().astype(np.int32),
+    starts = np.minimum((np.arange(F) * mult).astype(np.int32),
                         max(T - 16, 0))
     return np.stack([m[:, s : s + 16] for s in starts]).astype(np.float32)
 
@@ -64,6 +67,25 @@ def sync_mel_windows(audio: np.ndarray, clip_starts: np.ndarray,
     sync expert (one window per T-frame clip, at the clip's start)."""
     wins = mel_windows(audio, fps)
     return wins[np.asarray(clip_starts, np.int64)][..., None]
+
+
+def sync_mel16_windows(audio: np.ndarray, clip_starts: np.ndarray,
+                       fps: int = FPS, width: int = 52) -> np.ndarray:
+    """(n,) clip start frame indices -> (n, 80, 52, 1) mel windows for the
+    MuseTalk 16-frame sync expert (models/musetalk_syncnet.py: 16 frames
+    @25 fps = 0.64 s = ~52 mel columns @80/s)."""
+    import jax.numpy as jnp
+
+    from livetalking_tpu.ops import mel as melops
+
+    m = np.asarray(melops.melspectrogram(jnp.asarray(audio)))  # (80, T)
+    T = m.shape[1]
+    mult = 80.0 / fps
+    starts = np.minimum(
+        (np.asarray(clip_starts, np.int64) * mult).astype(np.int64),
+        max(T - width, 0))
+    return np.stack([m[:, s : s + width] for s in starts]).astype(
+        np.float32)[..., None]
 
 
 def whisper_windows(audio: np.ndarray, whisper_params, whisper_cfg=None,
@@ -184,7 +206,7 @@ def _mask_ultralight(face01: np.ndarray) -> np.ndarray:
 def make_batch(family: str, faces: np.ndarray, feats: np.ndarray,
                idx: np.ndarray, rng: np.random.RandomState,
                audio: Optional[np.ndarray] = None,
-               fps: int = FPS) -> Dict[str, np.ndarray]:
+               fps: int = FPS, clip_len: int = 5) -> Dict[str, np.ndarray]:
     """Assemble one training batch for ``idx`` (frame indices).
 
     faces: (N, S, S, 3) uint8 BGR (load_faces); feats: per-frame feature
@@ -225,9 +247,11 @@ def make_batch(family: str, faces: np.ndarray, feats: np.ndarray,
         raise ValueError(f"unknown family {family!r}")
 
     if audio is not None:  # sync-expert recipes: one mel window per clip
-        T = 5
-        starts = idx.reshape(-1, T)[:, 0]
-        batch["sync_mel"] = sync_mel_windows(audio, starts, fps)
+        starts = idx.reshape(-1, clip_len)[:, 0]
+        if clip_len == 16:  # MuseTalk's dedicated 16-frame expert
+            batch["sync_mel16"] = sync_mel16_windows(audio, starts, fps)
+        else:
+            batch["sync_mel"] = sync_mel_windows(audio, starts, fps)
     return {k: np.ascontiguousarray(v) for k, v in batch.items()}
 
 
@@ -241,12 +265,18 @@ def clip_batches(family: str, faces: np.ndarray, feats: np.ndarray,
     n_usable = min(faces.shape[0], feats.shape[0])
     if n_usable < clip_len:
         raise ValueError(f"need >= {clip_len} aligned frames, have {n_usable}")
+    if clip_len > 1 and batch_size % clip_len:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be a multiple of clip_len "
+            f"({clip_len}) — the sync/GAN recipes sample whole "
+            f"{clip_len}-frame clips; use e.g. --batch_size "
+            f"{((batch_size + clip_len - 1) // clip_len) * clip_len}")
     while True:
         if clip_len > 1:
-            assert batch_size % clip_len == 0
             starts = rng.randint(0, n_usable - clip_len + 1,
                                  size=batch_size // clip_len)
             idx = (starts[:, None] + np.arange(clip_len)[None]).reshape(-1)
         else:
             idx = rng.randint(0, n_usable, size=batch_size)
-        yield make_batch(family, faces, feats, idx, rng, audio=audio, fps=fps)
+        yield make_batch(family, faces, feats, idx, rng, audio=audio,
+                         fps=fps, clip_len=clip_len)
