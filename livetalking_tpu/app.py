@@ -56,6 +56,10 @@ def build_avatar_session(sessionid: str, params: dict):
     custom_config = params.get("custom_config", "")
     if custom_config:
         opt_this.customopt = json.loads(custom_config)
+    if "batch_size" in params:
+        # per-session batch override; under --coalesce a conflicting value
+        # is rejected by the shared scheduler (SchedulerConfigError)
+        opt_this.batch_size = int(params["batch_size"])
 
     return registry.create("avatar", opt.model, opt=opt_this, model=model, avatar=avatar_this)
 

@@ -46,7 +46,12 @@ _shared: dict = {"store": None, "scheduler": None}
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          unet_params, vae_params, vae_int8: bool,
                          unet_int8: bool, buckets=(1, 2, 4, 8)) -> tuple:
-    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler, parse_buckets
+    from livetalking_tpu.engine.scheduler import (
+        AvatarStore,
+        BatchScheduler,
+        SchedulerConfigError,
+        parse_buckets,
+    )
 
     with _shared_lock:
         cfg = {"batch_size": batch_size, "vae_int8": vae_int8,
@@ -71,12 +76,25 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
             _shared["config"] = cfg
         elif _shared.get("config") != cfg:
             # the process-wide scheduler is built once from the FIRST
-            # session's flags; later sessions run with that configuration
-            logger.warning(
-                "coalesce: shared scheduler already running with %s; "
-                "ignoring this session's differing config %s",
-                _shared.get("config"), cfg)
+            # session's flags; a later session with conflicting flags would
+            # silently run with the wrong batching — reject it instead
+            # (surfaces as a clean error envelope through /offer|/session)
+            raise SchedulerConfigError(
+                f"coalesce: shared scheduler already running with "
+                f"{_shared.get('config')}; conflicting session config {cfg} "
+                "rejected (per-session scheduler overrides are not allowed "
+                "under --coalesce)")
         return _shared["store"], _shared["scheduler"]
+
+
+def reset_shared_scheduler() -> None:
+    """Stop and drop the process-wide scheduler (tests / reconfiguration)."""
+    with _shared_lock:
+        if _shared["scheduler"] is not None:
+            _shared["scheduler"].stop()
+        _shared["scheduler"] = None
+        _shared["store"] = None
+        _shared.pop("config", None)
 
 
 def load_model(opt=None) -> Dict[str, Any]:

@@ -46,7 +46,10 @@ _shared: dict = {"store": None, "scheduler": None}
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          buckets=(1, 2, 4, 8)) -> tuple:
     """Lazily create the process-wide (AvatarStore, BatchScheduler) pair."""
+    from livetalking_tpu.engine.scheduler import SchedulerConfigError
+
     with _shared_lock:
+        cfg = {"batch_size": batch_size, "buckets": tuple(buckets)}
         if _shared["scheduler"] is None:
             store = AvatarStore(IMG_SIZE)
             sched = BatchScheduler(
@@ -57,7 +60,26 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
             sched.start()
             _shared["store"] = store
             _shared["scheduler"] = sched
+            _shared["config"] = cfg
+        elif _shared.get("config") != cfg:
+            # reject conflicting per-session flags instead of silently
+            # batching with the first session's configuration
+            raise SchedulerConfigError(
+                f"coalesce: shared scheduler already running with "
+                f"{_shared.get('config')}; conflicting session config {cfg} "
+                "rejected (per-session scheduler overrides are not allowed "
+                "under --coalesce)")
         return _shared["store"], _shared["scheduler"]
+
+
+def reset_shared_scheduler() -> None:
+    """Stop and drop the process-wide scheduler (tests / reconfiguration)."""
+    with _shared_lock:
+        if _shared["scheduler"] is not None:
+            _shared["scheduler"].stop()
+        _shared["scheduler"] = None
+        _shared["store"] = None
+        _shared.pop("config", None)
 
 
 def load_model(path: str, opt=None) -> Dict[str, Any]:

@@ -30,6 +30,11 @@ import numpy as np
 from livetalking_tpu.utils.logger import logger
 
 
+class SchedulerConfigError(ValueError):
+    """A session requested scheduler flags conflicting with the running
+    process-wide scheduler (per-session overrides under --coalesce)."""
+
+
 class AvatarStore:
     """Packs per-avatar cycle data into one device-resident buffer.
 
