@@ -138,12 +138,29 @@ def decode_step(params: Params, cfg: WhisperDecoderConfig, token: jnp.ndarray,
 
 
 def make_greedy_decode(params: Params, cfg: WhisperDecoderConfig,
-                       max_new: int = 128, dtype=jnp.bfloat16):
+                       max_new: int = 128, dtype=jnp.bfloat16,
+                       no_repeat_ngram: int = 3,
+                       repetition_penalty: float = 1.0):
     """Build a jitted fn: encoder states (B,S,D) + prompt (B,P) int32 ->
-    (tokens (B,max_new), n_valid (B,)). Greedy, stops at EOT (device-side
-    while_loop; stopped rows keep emitting EOT)."""
+    (tokens (B,max_new), n_valid (B,)). Greedy by default, stops at EOT
+    (device-side while_loop; stopped rows keep emitting EOT).
 
-    def fn(params, enc, prompt):
+    Degenerate-loop guards (the reference's SenseVoice backend never
+    loops; our autoregressive decoder needs the standard Whisper
+    safeguards):
+
+    - ``no_repeat_ngram`` (=3): a token that would complete an n-gram
+      already present in the generated text is banned that step.
+    - ``repetition_penalty`` (>1): HF-style down-weighting of already
+      emitted tokens.
+    - The returned fn takes optional ``(temperature, seed)`` runtime
+      args (no recompile) so callers can retry degenerate transcripts
+      with sampling — the compression-ratio fallback in
+      server/asr_server.py WhisperJaxSTT.transcribe.
+    """
+    ng = int(no_repeat_ngram)
+
+    def fn(params, enc, prompt, temperature, seed):
         B = prompt.shape[0]
         H, D = cfg.num_heads, cfg.d_model
         hd = D // H
@@ -167,33 +184,71 @@ def make_greedy_decode(params: Params, cfg: WhisperDecoderConfig,
         # text tokens + EOT only; no timestamp / special continuation
         allow = jnp.arange(cfg.vocab_size) < cfg.eot
         allow = allow.at[cfg.eot].set(True)
+        rows = jnp.arange(B)
 
         def cond(state):
-            step, _, _, done, _ = state
+            step, _, _, done, _, _, _ = state
             return jnp.logical_and(step < max_new, ~jnp.all(done))
 
         def body(state):
-            step, caches, logits, done, out = state
+            step, caches, logits, done, out, seen, key = state
             masked = jnp.where(allow[None], logits, -jnp.inf)
-            tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            if repetition_penalty != 1.0:
+                pen = jnp.where(masked > 0, masked / repetition_penalty,
+                                masked * repetition_penalty)
+                masked = jnp.where(seen, pen, masked)
+            if ng > 1:
+                # ban tokens completing an n-gram already in `out`: for
+                # every j with out[:, j:j+ng-1] == last ng-1 emitted
+                # tokens, ban out[:, j+ng-1]
+                last = jax.lax.dynamic_slice(
+                    out, (0, jnp.maximum(step - (ng - 1), 0)),
+                    (B, ng - 1))  # (B, ng-1)
+                J = max_new - (ng - 1)
+                cand = jnp.stack(
+                    [jax.lax.slice(out, (0, k), (B, J + k))
+                     for k in range(ng - 1)], axis=-1)  # (B, J, ng-1)
+                tails = jax.lax.slice(out, (0, ng - 1),
+                                      (B, max_new))  # (B, J)
+                match = jnp.all(cand == last[:, None, :], axis=-1)
+                # the banned token must itself be generated history, and
+                # the guard only applies once ng-1 tokens exist
+                j_ids = jnp.arange(J)[None]
+                match &= (j_ids + ng - 1 < step) & (step >= ng - 1)
+                ban = jnp.zeros((B, cfg.vocab_size), bool)
+                ban = ban.at[rows[:, None], tails].max(match)
+                ban = ban.at[:, cfg.eot].set(False)
+                masked = jnp.where(ban, -jnp.inf, masked)
+            key, sub = jax.random.split(key)
+            gumbel = -jnp.log(-jnp.log(
+                jax.random.uniform(sub, masked.shape, jnp.float32,
+                                   1e-20, 1.0)))
+            t = jnp.maximum(temperature, 1e-6)
+            scored = masked / t + jnp.where(temperature > 0.0, gumbel, 0.0)
+            tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             tok = jnp.where(done, cfg.eot, tok)
             out = out.at[:, step].set(tok)
+            seen = seen.at[rows, tok].set(True)
+            seen = seen.at[:, cfg.eot].set(False)
             done = jnp.logical_or(done, tok == cfg.eot)
             logits, caches = decode_step(
                 params, cfg, tok, prompt.shape[1] + step, caches, cross_kv)
-            return step + 1, caches, logits, done, out
+            return step + 1, caches, logits, done, out, seen, key
 
         out = jnp.full((B, max_new), cfg.eot, jnp.int32)
         done = jnp.zeros((B,), bool)
-        _, _, _, done, out = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), caches, logits, done, out))
+        seen = jnp.zeros((B, cfg.vocab_size), bool)
+        key = jax.random.PRNGKey(seed)
+        _, _, _, done, out, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), caches, logits, done, out, seen, key))
         n_valid = jnp.sum(out != cfg.eot, axis=-1)
         return out, n_valid
 
     # params are a jit ARG (closed-over weights would be inlined into the
     # HLO as constants, bloating the compile request by the weight size)
     jfn = jax.jit(fn)
-    return lambda enc, prompt: jfn(params, enc, prompt)
+    return lambda enc, prompt, temperature=0.0, seed=0: jfn(
+        params, enc, prompt, jnp.float32(temperature), jnp.uint32(seed))
 
 
 def init_params(key: jax.Array, cfg: WhisperDecoderConfig = TINY_DECODER,

@@ -32,6 +32,21 @@ from livetalking_tpu.utils.logger import logger
 
 SAMPLE_RATE = 16000  # browser client records 16 kHz mono PCM16
 
+# OpenAI Whisper's decoding fallback bar: gzip ratio above this means the
+# text is a repetition loop
+COMPRESSION_RATIO_THRESHOLD = 2.4
+
+
+def compression_ratio(text: str) -> float:
+    """len(bytes)/len(gzip(bytes)) — degenerate repetitions compress far
+    better than natural language."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
 
 class SttBackend(Protocol):
     def transcribe(self, audio: np.ndarray, sample_rate: int,
@@ -127,9 +142,24 @@ class WhisperJaxSTT:
 
         prompt = jnp.asarray([[cfg.sot, lang_tok, cfg.task_transcribe,
                                cfg.no_timestamps]], jnp.int32)
-        tokens, n_valid = self._decode(enc, prompt)
-        ids = np.asarray(tokens)[0][: int(n_valid[0])]
-        return self._tokenizer.decode(ids, skip_special_tokens=True).strip()
+        # Whisper-style temperature fallback: a transcript that gzip
+        # compresses too well is a degenerate repetition loop — retry at
+        # increasing temperature (same jitted fn; temperature is a
+        # runtime arg, so no recompile per retry).
+        text = ""
+        for temperature in (0.0, 0.3, 0.6):
+            tokens, n_valid = self._decode(enc, prompt,
+                                           temperature=temperature,
+                                           seed=int(temperature * 10))
+            ids = np.asarray(tokens)[0][: int(n_valid[0])]
+            text = self._tokenizer.decode(ids,
+                                          skip_special_tokens=True).strip()
+            if compression_ratio(text) <= COMPRESSION_RATIO_THRESHOLD:
+                break
+            logger.warning("[ASR] degenerate transcript at T=%.1f "
+                           "(compression ratio %.2f) - retrying",
+                           temperature, compression_ratio(text))
+        return text
 
 
 # --- lazy singleton loader (reference server/asr_server.py:28-67) --------
