@@ -105,6 +105,24 @@ def _sync_loss(sync_params, pred01: jnp.ndarray, sync_mel: jnp.ndarray) -> jnp.n
     return syncnet.cosine_bce_loss(v, a, jnp.ones((n,), jnp.float32))
 
 
+def _sync_loss_musetalk(sync_params, pred01: jnp.ndarray,
+                        sync_mel16: jnp.ndarray, sync_cfg) -> jnp.ndarray:
+    """MuseTalk's dedicated ResNet/attention sync expert
+    (models/musetalk_syncnet.py, reference avatars/musetalk/models/
+    syncnet.py:18-240): 16-frame lower-half windows channel-stacked
+    against the clip's 52-column mel (reference training_utils.py:254
+    requires n_sample_frames == 16)."""
+    from livetalking_tpu.models import musetalk_syncnet as msn
+
+    T = msn.FRAMES
+    n = pred01.shape[0] // T
+    S = pred01.shape[1]
+    clips = pred01[: n * T].reshape(n, T, S, S, 3)[:, :, S // 2:, :, :]
+    windows = jnp.concatenate([clips[:, i] for i in range(T)], axis=-1)
+    v, a = msn.apply(sync_params, windows, sync_mel16, sync_cfg)
+    return msn.cosine_bce_loss(v, a, jnp.ones((n,), jnp.float32))
+
+
 def forward(unet_params, vae_params, cfg: sd_unet.UNetConfig, pe,
             gt, ref, audio, dtype=jnp.float32):
     """The differentiable forward: (pred_latents, pred01, gt_latents).
@@ -154,13 +172,24 @@ def make_train_step(cfg: sd_unet.UNetConfig, weights: LossWeights = LossWeights(
                     warmup: int = 500, max_steps: int = 100_000,
                     weight_decay: float = 1e-2, remat: bool = False,
                     ctx_len: int = 50, dtype=jnp.float32,
-                    feature_fn: Optional[Callable] = None):
+                    feature_fn: Optional[Callable] = None,
+                    sync_backend: str = "generic", sync_cfg=None):
     """Returns ((tx_gen, tx_disc), jitted step).
 
     step(state, vae_params, sync_params, batch) -> (state, metrics);
     ``sync_params`` may be None when weights.sync == 0 (the branch is
     compiled out by the Python-level weight check).
+
+    ``sync_backend``: "generic" scores 5-frame clips with the shared
+    models/syncnet.py expert (batch carries ``sync_mel``); "musetalk"
+    uses the dedicated LatentSync-style expert on 16-frame clips
+    (models/musetalk_syncnet.py, batch carries ``sync_mel16``;
+    ``sync_cfg`` defaults to musetalk_syncnet.MUSETALK).
     """
+    if sync_cfg is None and sync_backend == "musetalk":
+        from livetalking_tpu.models import musetalk_syncnet as msn
+
+        sync_cfg = msn.MUSETALK
     pe = jnp.asarray(positional_encoding_table(ctx_len, cfg.cross_dim))
     tx_g = optax.adamw(make_schedule(lr, warmup, max_steps),
                        b1=0.9, b2=0.999, weight_decay=weight_decay)
@@ -181,8 +210,13 @@ def make_train_step(cfg: sd_unet.UNetConfig, weights: LossWeights = LossWeights(
             m["perceptual"] = pyramid_l1(pred01, gt01, feature_fn=feature_fn)
             loss = loss + weights.perceptual * m["perceptual"]
         if weights.sync > 0:
-            m["sync"] = _sync_loss(jax.lax.stop_gradient(sync_params),
-                                   pred01, batch["sync_mel"])
+            if sync_backend == "musetalk":
+                m["sync"] = _sync_loss_musetalk(
+                    jax.lax.stop_gradient(sync_params), pred01,
+                    batch["sync_mel16"], sync_cfg)
+            else:
+                m["sync"] = _sync_loss(jax.lax.stop_gradient(sync_params),
+                                       pred01, batch["sync_mel"])
             loss = loss + weights.sync * m["sync"]
         if weights.gan > 0:
             m["gan"] = multiscale_disc.gen_loss(

@@ -80,3 +80,40 @@ def test_schedule_warmup_then_decay():
     assert float(sched(0)) == pytest.approx(0.0)
     assert float(sched(10)) == pytest.approx(1e-4)
     assert float(sched(99)) < 1e-4
+
+
+def test_musetalk_sync_backend_step():
+    """sync_backend="musetalk": the dedicated 16-frame expert
+    (models/musetalk_syncnet.py) drives the sync term; one full step runs
+    and produces finite metrics including "sync"."""
+    from livetalking_tpu.models import musetalk_syncnet as msn
+    from livetalking_tpu.train.data import sync_mel16_windows
+
+    rng = np.random.RandomState(0)
+    # tiny towers with MATCHING embedding dims (visual 32x64 lower-half
+    # window of 64px frames; audio 80x52 mel)
+    sync_cfg = msn.SyncNetConfig(
+        audio=msn.EncoderConfig(1, (32, 32, 64, 64, 64),
+                                (2, 2, 2, 2, (5, 3)), (0, 0, 0, 0, 0)),
+        visual=msn.EncoderConfig(48, (32, 32, 64, 64, 64),
+                                 (2, 2, 2, 2, (2, 4)), (0, 0, 0, 0, 0)),
+    )
+    sync_p = msn.init_params(jax.random.PRNGKey(7), sync_cfg, jnp.float32)
+
+    weights = mt.LossWeights(sync=0.1)
+    txs, step = mt.make_train_step(TINY, weights, lr=1e-4,
+                                   sync_backend="musetalk",
+                                   sync_cfg=sync_cfg)
+    state = mt.init_train_state(jax.random.PRNGKey(0), TINY, txs, weights)
+    vae_p = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+
+    B = 16  # one 16-frame clip
+    batch = _batch(rng, B)
+    audio = rng.standard_normal(16000).astype(np.float32)
+    batch["sync_mel16"] = jnp.asarray(
+        sync_mel16_windows(audio, np.asarray([0])))
+    assert batch["sync_mel16"].shape == (1, 80, 52, 1)
+
+    state, metrics = step(state, vae_p, sync_p, batch)
+    assert np.isfinite(float(metrics["sync"]))
+    assert np.isfinite(float(metrics["loss"]))
