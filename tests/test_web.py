@@ -12,7 +12,8 @@ from tests.test_server import server  # noqa: F401  (reuse the app fixture)
 WEB_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "web")
 
 PAGES = ["index.html", "dashboard.html", "avatar.html", "admin.html",
-         "asr.html", "whep.html", "tts.html"]
+         "asr.html", "whep.html", "tts.html", "webrtcapi.html",
+         "webrtcapi-asr.html", "rtmp.html", "virtualcam.html"]
 SCRIPTS = ["client.js", "asr-client.js", "whep.js"]
 
 # endpoints build_web_app registers (app.py + routes.py + avatar_routes.py)
