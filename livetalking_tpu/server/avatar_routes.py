@@ -44,6 +44,10 @@ async def create_avatar_task(request: web.Request) -> web.Response:
             "bbox_shift": int(form.get("bbox_shift", 0) or 0),
             "version": str(form.get("version", "v15")),
             "notifyurl": str(form.get("notifyurl", "") or "") or None,
+            # detection backend: auto | s3fd | yunet | haar | center
+            # (center = explicit opt-in geometric boxes)
+            "face_detector": str(form.get("face_detector", "auto")),
+            "face_model": str(form.get("face_model", "") or "") or None,
         }
         pads = form.get("pads")
         if pads:

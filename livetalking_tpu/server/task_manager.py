@@ -104,17 +104,28 @@ class TaskManager:
             def progress(pct: int, msg: str) -> None:
                 self._set(task, progress=pct, message=msg)
 
+            # detection backend per task (auto prefers s3fd weights and
+            # REFUSES to silently fall back to center boxes)
+            from livetalking_tpu.genavatar.face import FaceDetector
+
+            detector = FaceDetector(
+                kind=task.params.get("face_detector", "auto"),
+                model_path=task.params.get("face_model"),
+                models_dir=task.params.get("models_dir", "./models"))
+
             if model_kind == "wav2lip":
                 generate_wav2lip_avatar(
                     video_path, task.avatar_id, data_dir,
                     img_size=int(task.params.get("img_size", 256)),
                     pads=tuple(task.params.get("pads", (0, 10, 0, 0))),
+                    face_detector=detector,
                     progress_callback=progress,
                 )
             elif model_kind == "ultralight":
                 generate_ultralight_avatar(
                     video_path, task.avatar_id, data_dir,
                     unet_checkpoint=task.params.get("unet_checkpoint"),
+                    face_detector=detector,
                     progress_callback=progress,
                 )
             elif model_kind == "ernerf":
@@ -140,6 +151,7 @@ class TaskManager:
                     vae_params=vae_params,
                     bbox_shift=int(task.params.get("bbox_shift", 0)),
                     version=task.params.get("version", "v15"),
+                    face_detector=detector,
                     progress_callback=progress,
                 )
             self._set(task, status="completed", progress=100, message="completed")
