@@ -98,3 +98,64 @@ def test_sharded_musetalk_infer_matches_single_device():
     a, b = np.asarray(ref).astype(np.int32), np.asarray(out).astype(np.int32)
     # identical math, different reduction/layout order: allow 1 lsb
     assert np.abs(a - b).max() <= 1
+
+
+def test_batch_scheduler_with_sharded_infer_fn():
+    """The coalescing BatchScheduler running the dp+tp-sharded MuseTalk
+    step on the 8-device CPU mesh produces the SAME frames as the
+    unsharded step — the serving path of SURVEY §2.10(b) exercised
+    through the real scheduler machinery (VERDICT r1 item 6)."""
+    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
+    from livetalking_tpu.models import musetalk as mt
+    from livetalking_tpu.models import sd_unet, sd_vae
+
+    cfg = sd_unet.UNetConfig(block_out=(32, 64, 128, 128), heads=2)
+    unet_params = sd_unet.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    vae_params = sd_vae.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+
+    B = 4  # per-session batch; super-batch = 2 sessions -> 8 (divisible by dp)
+    rng = np.random.default_rng(0)
+    cyc1 = rng.standard_normal((3, 16, 16, 8)).astype(np.float32)
+    cyc2 = rng.standard_normal((4, 16, 16, 8)).astype(np.float32)
+
+    mesh = make_mesh("dp=4,tp=2")
+    u_sh = shard_params(unet_params, mesh)
+    v_sh = shard_params(vae_params, mesh)
+
+    store = AvatarStore(item_shape=(16, 16, 8), dtype=np.float32)
+    off1, _ = store.add("a1", cyc1)
+    off2, _ = store.add("a2", cyc2)
+
+    def step_factory(total):
+        step = mt.make_sharded_infer_fn(cfg, total, mesh, dtype=jnp.float32)
+
+        def wrapped(params, buffer, idxs, whisper):
+            return step(params[0], params[1], buffer, idxs, whisper)
+        return wrapped
+
+    sched = BatchScheduler((u_sh, v_sh), store, step_factory, B,
+                           buckets=(2,))
+    sched.start()
+    try:
+        w1 = rng.standard_normal((B, 50, 384)).astype(np.float32)
+        w2 = rng.standard_normal((B, 50, 384)).astype(np.float32)
+        i1 = (off1 + np.arange(B) % 3).astype(np.int32)
+        i2 = (off2 + np.arange(B) % 4).astype(np.int32)
+        f1 = sched.submit(i1, w1)
+        f2 = sched.submit(i2, w2)
+        got1, got2 = f1.result(timeout=300), f2.result(timeout=300)
+    finally:
+        sched.stop()
+
+    ref_step = mt.make_infer_fn(cfg, B, dtype=jnp.float32)
+    want1 = np.asarray(ref_step(unet_params, vae_params,
+                                jnp.asarray(cyc1),
+                                jnp.asarray(np.arange(B) % 3),
+                                jnp.asarray(w1)))
+    want2 = np.asarray(ref_step(unet_params, vae_params,
+                                jnp.asarray(cyc2),
+                                jnp.asarray(np.arange(B) % 4),
+                                jnp.asarray(w2)))
+    # identical math, different reduction/layout order: allow 1 lsb
+    assert np.abs(got1.astype(np.int32) - want1.astype(np.int32)).max() <= 1
+    assert np.abs(got2.astype(np.int32) - want2.astype(np.int32)).max() <= 1
