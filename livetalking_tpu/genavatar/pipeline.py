@@ -175,11 +175,28 @@ def generate_musetalk_avatar(
     H, W = frames[0].shape[:2]
     _report(progress_callback, 20, "detecting faces")
     boxes = detect_track(frames, detector, pads=(0, 0, 0, 0))
-    if version == "v15":  # extra chin margin (reference genavatar.py:121-124)
-        boxes = [(x1, y1, x2, min(H, y2 + (y2 - y1) // 10)) for (x1, y1, x2, y2) in boxes]
-    if bbox_shift:
+
+    # landmark refinement when PFLD weights are available (reference
+    # preprocessing.py:126-140 fuses detector boxes with landmarks)
+    from livetalking_tpu.genavatar.landmarks import (
+        load_pfld_landmarker,
+        musetalk_crop_box,
+    )
+
+    landmarker = load_pfld_landmarker()
+    if landmarker is not None:
+        _report(progress_callback, 30, "regressing landmarks")
+        refined = []
+        for frame, box in zip(frames, boxes):
+            lms = landmarker.landmarks(frame, box)
+            refined.append(
+                musetalk_crop_box(lms, (H, W), bbox_shift) or box)
+        boxes = refined
+    elif bbox_shift:
         boxes = [(x1, max(0, y1 + bbox_shift), x2, min(H, y2 + bbox_shift))
                  for (x1, y1, x2, y2) in boxes]
+    if version == "v15":  # extra chin margin (reference genavatar.py:121-124)
+        boxes = [(x1, y1, x2, min(H, y2 + (y2 - y1) // 10)) for (x1, y1, x2, y2) in boxes]
 
     _report(progress_callback, 40, "encoding VAE latents")
     if vae_params is None:
@@ -231,15 +248,34 @@ def generate_ultralight_avatar(
     frames = load_frames(video_path)
     _report(progress_callback, 30, "detecting faces")
     boxes = detect_track(frames, detector, pads=(0, 0, 0, 0))
-    # square crops (landmark-derived in the reference; square-expand here)
-    sq = []
     H, W = frames[0].shape[:2]
-    for (x1, y1, x2, y2) in boxes:
-        s = max(x2 - x1, y2 - y1)
-        cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
-        x1 = max(0, cx - s // 2); y1 = max(0, cy - s // 2)
-        sq.append((x1, y1, min(W, x1 + s), min(H, y1 + s)))
-    boxes = sq
+
+    # landmark-derived square crops when PFLD weights are available
+    # (reference genavatar.py:76-82); square-expanded detector boxes
+    # otherwise
+    from livetalking_tpu.genavatar.landmarks import (
+        load_pfld_landmarker,
+        ultralight_crop_box,
+    )
+
+    landmarker = load_pfld_landmarker()
+    if landmarker is not None:
+        _report(progress_callback, 45, "regressing landmarks")
+        lm_boxes = []
+        for frame, box in zip(frames, boxes):
+            lms = landmarker.landmarks(frame, box)
+            lm_boxes.append(ultralight_crop_box(lms, (H, W)) or box)
+        boxes = lm_boxes
+    else:
+        logger.info("no PFLD weights (models/pfld.pth + mean_face.txt): "
+                    "using square-expanded detector boxes")
+        sq = []
+        for (x1, y1, x2, y2) in boxes:
+            s = max(x2 - x1, y2 - y1)
+            cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
+            x1 = max(0, cx - s // 2); y1 = max(0, cy - s // 2)
+            sq.append((x1, y1, min(W, x1 + s), min(H, y1 + s)))
+        boxes = sq
 
     _report(progress_callback, 60, "cropping")
     _write_frames(os.path.join(avatar_dir, "full_imgs"), frames)

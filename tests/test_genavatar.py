@@ -116,3 +116,56 @@ def test_auto_detector_refuses_silent_center_fallback(tmp_path):
     det = FaceDetector("center", models_dir=str(tmp_path))
     assert det.kind == "center"
     assert det.detect(np.zeros((64, 80, 3), np.uint8)) is not None
+
+
+def test_ultralight_landmark_crop(video, tmp_path, monkeypatch):
+    """When a PFLD landmarker is available, the ultralight build derives
+    the crop square from landmarks 1/52/31 (reference
+    avatars/ultralight/genavatar.py:76-82)."""
+    from livetalking_tpu.genavatar import landmarks as lmod
+    from livetalking_tpu.genavatar.pipeline import generate_ultralight_avatar
+
+    class FakeLandmarker:
+        def landmarks(self, frame, box):
+            lm = np.zeros((110, 2), np.int32)
+            lm[lmod.IDX_LEFT_X] = (40, 0)
+            lm[lmod.IDX_RIGHT_X] = (104, 0)
+            lm[lmod.IDX_UPPER_Y] = (0, 30)
+            return lm
+
+    monkeypatch.setattr(lmod, "load_pfld_landmarker",
+                        lambda models_dir="./models": FakeLandmarker())
+    out = generate_ultralight_avatar(
+        video, "lmav", str(tmp_path),
+        face_detector=FaceDetector("center"))
+    import pickle as pkl
+
+    with open(os.path.join(out, "coords.pkl"), "rb") as f:
+        boxes = pkl.load(f)
+    # landmark square: x 40..104 (width 64), y 30..94
+    assert boxes[0] == (40, 30, 104, 94), boxes[0]
+
+
+def test_musetalk_landmark_refined_crop():
+    """musetalk_crop_box mirrors the reference half-face arithmetic
+    (preprocessing.py:126-140): upper bound reflects the face height
+    below the anchor row; bbox_shift moves the anchor."""
+    from livetalking_tpu.genavatar.landmarks import (
+        IDX_UPPER_Y,
+        musetalk_crop_box,
+    )
+
+    lms = np.zeros((110, 2), np.int32)
+    lms[:, 0] = 50
+    lms[:, 1] = 100
+    lms[0] = (40, 180)    # chin: max_y
+    lms[5] = (120, 100)   # right contour: max_x
+    lms[IDX_UPPER_Y] = (80, 100)  # anchor row y=100
+
+    # half_dist = 180 - 100 = 80 -> upper = 20
+    assert musetalk_crop_box(lms, (240, 320)) == (40, 20, 120, 180)
+    # shift +10: anchor 110, half_dist 70 -> upper 40
+    assert musetalk_crop_box(lms, (240, 320), bbox_shift=10) == (40, 40, 120, 180)
+    # degenerate (anchor below chin) -> None
+    lms[IDX_UPPER_Y] = (80, 200)
+    assert musetalk_crop_box(lms, (240, 320)) is None
