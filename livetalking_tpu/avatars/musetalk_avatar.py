@@ -271,6 +271,9 @@ class MuseReal(BaseAvatar):
         use_int8 = bool(getattr(opt, "vae_int8", False))
         if use_int8:
             if "vae_params_q" not in model:  # shared across sessions
+                # device-native (jnp) quantize: weights never leave the
+                # chip; eager per-conv ops reuse tiny cached kernels (a
+                # whole-tree jit would mean one huge remote compile)
                 q = sd_vae.quantize_decoder(model["vae_params"])
                 # calibrate on the reference-face latent channels ([4:] of
                 # cat(masked, ref)) - the decode-time distribution
@@ -284,6 +287,7 @@ class MuseReal(BaseAvatar):
         use_unet_int8 = bool(getattr(opt, "unet_int8", False))
         if use_unet_int8:
             if "unet_params_q" not in model:  # shared across sessions
+                # device-native (jnp) quantize, eager (see VAE note)
                 q = sd_unet.quantize_unet(model["unet_params"])
                 # calibrate on real avatar input latents + a whisper
                 # context with REAL encoder statistics: encode 1 s of

@@ -177,13 +177,18 @@ def transformer_2d(p: Params, x: jnp.ndarray, ctx: jnp.ndarray, heads: int) -> j
 # ---------------------------------------------------------------------------
 
 def quantize_conv(p: Params) -> Params:
-    """Per-output-channel symmetric int8 weight quantization."""
-    w = np.asarray(p["w"], np.float32)
-    scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
-    wq = np.clip(np.round(w / scale[None, None, None, :]), -127, 127)
-    return {"wq": jnp.asarray(wq, jnp.int8),
-            "ws": jnp.asarray(scale, jnp.float32),
-            "b": jnp.asarray(np.asarray(p["b"], np.float32))}
+    """Per-output-channel symmetric int8 weight quantization.
+
+    Pure jnp (device-native): quantizing device-resident params never
+    round-trips them to the host — wrap a whole-tree quantize
+    (sd_unet.quantize_unet / sd_vae.quantize_decoder) in ``jax.jit`` to
+    fuse it into ONE device program (the host-numpy version pulled the
+    full bf16 weight tree D2H, minutes behind a remote device link)."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / scale[None, None, None, :]),
+                  -127, 127).astype(jnp.int8)
+    return {"wq": wq, "ws": scale, "b": jnp.asarray(p["b"], jnp.float32)}
 
 
 def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
