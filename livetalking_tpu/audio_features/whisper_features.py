@@ -35,7 +35,19 @@ class WhisperFeatures(BaseFeatureExtractor):
 
         self._window_frames = 2 * self.batch_size + self.stride_left_size + self.stride_right_size
         n_samples = self._window_frames * self.chunk
-        feat_len = self._cfg.max_positions  # 1500 (whisper pads to 30 s)
+
+        # serving fast path (--whisper_short_window): run the encoder over
+        # the actual rolling window instead of the 30 s zero-padded chunk
+        # — identical mel values for the real frames, ~20x fewer encoder
+        # positions (attention is the cost). OFF by default: the padded
+        # window is the exact distribution HF/reference nets were fed.
+        short = bool(getattr(opt, "whisper_short_window", False))
+        if short:
+            mel_samples = ((n_samples + 319) // 320) * 320  # pos-aligned
+            feat_len = mel_samples // 320  # encoder positions at 50 Hz
+        else:
+            mel_samples = None  # full 30 s pad
+            feat_len = self._cfg.max_positions  # 1500
         rows = clamp_window_indices(
             self.batch_size, feat_len, self.audio_feat_length,
             start=self.stride_left_size // 2, multiplier=2.0,
@@ -51,8 +63,11 @@ class WhisperFeatures(BaseFeatureExtractor):
         # by the full weight size (fatal behind a remote-compile tunnel)
         @jax.jit
         def features(params, wav):  # (n_samples,) -> (B, 50, 384)
-            mel = log_mel_spectrogram(wav)[None]  # (1, 80, 3000)
-            states = we.apply_stacked(params, cfg, mel)[0]  # (1500, L+1, D)
+            if mel_samples is not None:  # short rolling window
+                mel = log_mel_spectrogram(wav, n_samples=mel_samples)[None]
+            else:
+                mel = log_mel_spectrogram(wav)[None]  # (1, 80, 3000)
+            states = we.apply_stacked(params, cfg, mel)[0]  # (T/2, L+1, D)
             g = jnp.take(states, rows_dev.reshape(-1), axis=0)
             g = g.reshape(self.batch_size, n_ctx, D)
             return g.astype(jnp.float32)

@@ -79,6 +79,12 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
         help="musetalk: run the latent U-Net convs W8A8 int8 "
              "(sd_unet.apply_int8; attention stays bf16; small "
              "quantization error)")
+    add("--whisper_short_window", action="store_true", default=False,
+        help="musetalk: encode whisper features over the actual rolling "
+             "window instead of the 30 s zero-padded chunk (~20x fewer "
+             "encoder positions; identical mel values but attention "
+             "normalizes over the shorter context — slight feature "
+             "drift vs the reference's HF extractor)")
     add("--device_paste_back", action="store_true", default=False,
         help="composite predicted crops into full frames on device "
              "(ops/pallas_blend.py fused resize+blend+paste) instead of "

@@ -32,28 +32,34 @@ def whisper_mel_filters() -> np.ndarray:
     return mel_filterbank(cfg)
 
 
-def log_mel_spectrogram(audio: jnp.ndarray) -> jnp.ndarray:
-    """(T,) float32 PCM (T <= 30 s) -> (80, 3000) whisper log-mel.
+def log_mel_spectrogram(audio: jnp.ndarray,
+                        n_samples: int = N_SAMPLES) -> jnp.ndarray:
+    """(T,) float32 PCM (T <= n_samples) -> (80, n_samples/160) log-mel.
 
-    Zero-pads to 30 s like the HF extractor, so downstream feature windows
-    beyond real audio see "silence" features (the reference relies on this).
-    """
+    Default pads to the full 30 s whisper chunk like the HF extractor, so
+    downstream feature windows beyond real audio see "silence" features
+    (the reference relies on this). A smaller ``n_samples`` (multiple of
+    HOP*2 so encoder positions stay frame-aligned) yields the identical
+    mel values for the real frames over a shorter static window — the
+    serving fast path: the encoder then attends over ~20x fewer
+    positions (whisper_features.py short_window)."""
     T = audio.shape[0]
-    assert T <= N_SAMPLES, "audio longer than one whisper chunk"
-    x = jnp.pad(audio.astype(jnp.float32), (0, N_SAMPLES - T))
+    assert T <= n_samples, "audio longer than the mel window"
+    assert n_samples % (2 * HOP) == 0
+    x = jnp.pad(audio.astype(jnp.float32), (0, n_samples - T))
 
     pad = N_FFT // 2
     x = jnp.pad(x, (pad, pad), mode="reflect")
-    n_frames = 1 + N_SAMPLES // HOP  # 3001 before trailing drop
+    n_frames = 1 + n_samples // HOP  # +1 before trailing drop
     idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
     win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(N_FFT) / N_FFT)
     frames = x[idx] * win
 
-    spec = jnp.abs(jnp.fft.rfft(frames, n=N_FFT, axis=-1)) ** 2  # (3001, 201)
-    spec = spec[:-1]  # whisper drops the trailing frame -> 3000
+    spec = jnp.abs(jnp.fft.rfft(frames, n=N_FFT, axis=-1)) ** 2  # (F+1, 201)
+    spec = spec[:-1]  # whisper drops the trailing frame
     fb = jnp.asarray(whisper_mel_filters())  # (80, 201)
-    mel = jnp.dot(spec, fb.T, preferred_element_type=jnp.float32)  # (3000, 80)
+    mel = jnp.dot(spec, fb.T, preferred_element_type=jnp.float32)  # (F, 80)
 
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
-    return ((log_spec + 4.0) / 4.0).T  # (80, 3000)
+    return ((log_spec + 4.0) / 4.0).T  # (80, F)

@@ -107,3 +107,22 @@ def test_mel_chunks_fn_end_to_end(wav):
     starts = mel_chunk_starts(16, 52, 10, 10, 25)
     for i, s in enumerate(starts):
         np.testing.assert_allclose(out[i], full[:, s : s + 16], atol=2e-3)
+
+
+def test_whisper_log_mel_short_window_matches_full():
+    """log_mel_spectrogram(n_samples=short) yields the IDENTICAL mel
+    columns for the real frames as the 30 s-padded default — the
+    --whisper_short_window fast path changes only the encoder context."""
+    import jax.numpy as jnp
+
+    from livetalking_tpu.ops.whisper_mel import HOP, log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    T = 32000  # 2 s
+    audio = jnp.asarray(rng.standard_normal(T).astype(np.float32) * 0.1)
+    short_n = ((T + 2 * HOP - 1) // (2 * HOP)) * 2 * HOP
+    full = np.asarray(log_mel_spectrogram(audio))
+    short = np.asarray(log_mel_spectrogram(audio, n_samples=short_n))
+    cols = T // HOP - 2  # stay clear of the reflect-pad boundary column
+    np.testing.assert_allclose(short[:, :cols], full[:, :cols],
+                               atol=1e-5, rtol=1e-5)
