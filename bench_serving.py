@@ -47,6 +47,12 @@ def main() -> dict:
                     help="bf16 U-Net+VAE instead of the int8 serving path")
     ap.add_argument("--no-whisper", action="store_true",
                     help="skip the per-batch whisper feature encode")
+    ap.add_argument("--whisper_short", action="store_true",
+                    help="short-window whisper features (the "
+                         "--whisper_short_window serving fast path)")
+    ap.add_argument("--per-session-feats", action="store_true",
+                    help="each session encodes its own features "
+                         "(staggered submits; the naive architecture)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -110,23 +116,39 @@ def main() -> dict:
     sched.start()
 
     # per-batch whisper feature program (the serving rolling window:
-    # 2*B 20 ms chunks + strides, full 30 s-padded encoder — the same
-    # program audio_features/whisper_features.py jits)
+    # 2*B 20 ms chunks + strides — the same gather
+    # audio_features/whisper_features.py jits). Cross-session BATCHED:
+    # one (N, window) encode per round instead of N staggered singles —
+    # submissions then land together and super-batches coalesce fully.
     whisper_params = jit_init(we.init_params, jax.random.PRNGKey(2), we.TINY, dtype)
     wcfg = we.TINY
     window_samples = (2 * B + 20) * 640
+    if args.whisper_short:
+        mel_samples = ((window_samples + 319) // 320) * 320
+    else:
+        mel_samples = 480000  # full 30 s pad (reference distribution)
     rows = np.clip(np.arange(B)[:, None] * 2 + np.arange(10)[None] + 10,
-                   0, wcfg.max_positions - 1)
+                   0, mel_samples // 320 - 1)
 
     @jax.jit
     def whisper_feats(params, wav):
-        mel = log_mel_spectrogram(wav)[None]
+        mel = log_mel_spectrogram(wav, n_samples=mel_samples)[None]
         states = we.apply_stacked(params, wcfg, mel.astype(dtype))[0]
         g = jnp.take(states, jnp.asarray(rows).reshape(-1), axis=0)
         return g.reshape(B, -1, wcfg.d_model).astype(jnp.float32)
 
+    @jax.jit
+    def whisper_feats_batched(params, wavs):  # (N, window) -> (N, B, 50, D)
+        mels = jax.vmap(lambda w: log_mel_spectrogram(
+            w, n_samples=mel_samples))(wavs)
+        states = we.apply_stacked(params, wcfg, mels.astype(dtype))
+        g = jnp.take(states, jnp.asarray(rows).reshape(-1), axis=1)
+        return g.reshape(wavs.shape[0], B, -1,
+                         wcfg.d_model).astype(jnp.float32)
+
     wavs = [jnp.asarray(rng.standard_normal(window_samples).astype(np.float32)
                         * 0.1) for _ in range(N)]
+    wav_stack = jnp.stack(wavs)
 
     print("# compiling (first super-batch + whisper)...", flush=True)
     t0 = time.time()
@@ -142,6 +164,10 @@ def main() -> dict:
     errors = []
 
     def session(sid: int):
+        """--per-session-feats: the naive architecture, each session
+        serializes its own feature encode -> submissions stagger and
+        super-batches coalesce poorly (measured 9.6 fps/session vs 25
+        needed; kept for comparison)."""
         local = np.random.default_rng(sid)
         warm = 0
         try:
@@ -161,11 +187,47 @@ def main() -> dict:
         except Exception as e:  # pragma: no cover
             errors.append(f"session {sid}: {e}")
 
-    threads = [threading.Thread(target=session, args=(s,), daemon=True)
-               for s in range(N)]
+    def round_driver():
+        """Default: coalesced feature extraction — ONE batched whisper
+        encode for all sessions per round, then all N submits land
+        together so every super-batch is full. Rounds are pipelined one
+        deep (features for round k+1 dispatch while round k resolves)."""
+        local = np.random.default_rng(0)
+        warm = 0
+
+        def make_idxs():
+            return [(offsets[s] + (local.integers(0, n_frames - B)
+                                   + np.arange(B)) % n_frames
+                     ).astype(np.int32) for s in range(N)]
+
+        def encode():
+            if args.no_whisper:
+                return [warm_ctx] * N
+            f = whisper_feats_batched(whisper_params, wav_stack)
+            return [f[s] for s in range(N)]
+
+        try:
+            feats = encode()
+            while not stop.is_set():
+                futs = [sched.submit(i, c)
+                        for i, c in zip(make_idxs(), feats)]
+                feats = encode()  # overlaps with the in-flight round
+                for s, f in enumerate(futs):
+                    f.result(timeout=120)
+                    if warm >= args.warmup:
+                        counts[s] += B
+                warm += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(f"round driver: {e}")
+
+    if args.per_session_feats:
+        threads = [threading.Thread(target=session, args=(s,), daemon=True)
+                   for s in range(N)]
+    else:
+        threads = [threading.Thread(target=round_driver, daemon=True)]
     for t in threads:
         t.start()
-    # wait until every session passed warmup, then open the timing window
+    # wait until warmup passed, then open the timing window
     while any(c == 0 for c in counts) and not errors:
         time.sleep(0.2)
     snap0 = list(counts)
@@ -175,7 +237,7 @@ def main() -> dict:
     elapsed = time.time() - t_start
     stop.set()
     for t in threads:
-        t.join(timeout=30)
+        t.join(timeout=60)
     sched.stop()
     if errors:
         raise RuntimeError("; ".join(errors))
@@ -190,6 +252,8 @@ def main() -> dict:
         "batch": B,
         "int8": use_int8,
         "whisper_per_batch": not args.no_whisper,
+        "whisper_short_window": bool(args.whisper_short),
+        "feature_coalescing": not args.per_session_feats,
         "per_session_fps": [round(v, 2) for v in per_session],
         "aggregate_fps": round(sum(per_session), 1),
         "elapsed_s": round(elapsed, 1),
