@@ -275,15 +275,15 @@ def main() -> None:
     bench_wav2lip()  # headline FIRST, inline
     here = os.path.dirname(me)
     _forward_subprocess([sys.executable, me, "--metric", "musetalk"],
-                        900, "musetalk_int8_inferfps_per_chip")
+                        1500, "musetalk_int8_inferfps_per_chip")
     _forward_subprocess([sys.executable, me, "--metric", "ultralight"],
                         600, "ultralight_inferfps_per_chip")
     _forward_subprocess([sys.executable, me, "--metric", "ernerf"],
-                        600, "ernerf128_renderfps_per_chip")
+                        900, "ernerf128_renderfps_per_chip")
     _forward_subprocess([sys.executable, os.path.join(here, "benchmark_asr.py"),
                          "--runs", "3"], 600, "whisper_tiny_stt_latency")
     _forward_subprocess([sys.executable, os.path.join(here, "bench_serving.py"),
-                         "--secs", "15"], 1500,
+                         "--secs", "15"], 1800,
                         "musetalk_serving_finalfps_per_session")
 
 
