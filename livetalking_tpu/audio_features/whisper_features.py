@@ -19,10 +19,59 @@ import numpy as np
 from livetalking_tpu.audio_features.base import BaseFeatureExtractor, clamp_window_indices
 
 
+def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
+                                l: int, r: int, dtype=None,
+                                short_window: bool = False):
+    """``batched_fn_factory`` for engine.feature_coalescer.FeatureCoalescer:
+    factory(k) -> fn((k, n_samples) float32 np) -> (k, B, n_ctx, D) device.
+
+    One batched program encodes k sessions' rolling windows together —
+    the same mel/encoder/gather as the per-session jitted program, so
+    rows of the batched output equal the solo outputs exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.models import whisper_encoder as we
+    from livetalking_tpu.ops.whisper_mel import log_mel_spectrogram
+
+    cfg = whisper_cfg or we.TINY
+    dtype = dtype or jnp.bfloat16
+    window_frames = 2 * batch_size + l + r
+    n_samples = window_frames * (16000 // (25 * 2))  # 320-sample chunks
+    if short_window:
+        mel_samples = ((n_samples + 319) // 320) * 320
+        feat_len = mel_samples // 320
+    else:
+        mel_samples = None
+        feat_len = cfg.max_positions
+    rows = clamp_window_indices(batch_size, feat_len, (0, 5),
+                                start=l // 2, multiplier=2.0)
+    n_ctx = rows.shape[1] * (cfg.num_layers + 1)
+
+    def factory(k: int):
+        @jax.jit
+        def fn(params, wavs):  # (k, n_samples)
+            if mel_samples is not None:
+                mels = jax.vmap(lambda w: log_mel_spectrogram(
+                    w, n_samples=mel_samples))(wavs)
+            else:
+                mels = jax.vmap(log_mel_spectrogram)(wavs)
+            states = we.apply_stacked(params, cfg, mels.astype(dtype))
+            g = jnp.take(states, jnp.asarray(rows).reshape(-1), axis=1)
+            return g.reshape(k, batch_size, n_ctx,
+                             cfg.d_model).astype(jnp.float32)
+
+        return lambda wavs: fn(whisper_params, jnp.asarray(wavs))
+
+    return factory, n_samples
+
+
 class WhisperFeatures(BaseFeatureExtractor):
     def __init__(self, opt, parent=None, whisper_params=None, whisper_cfg=None,
-                 audio_feat_length=(0, 5)):
+                 audio_feat_length=(0, 5), coalescer=None):
         super().__init__(opt, parent)
+        # cross-session batched encoding (engine/feature_coalescer.py)
+        self._coalescer = coalescer
         import jax
         import jax.numpy as jnp
 
@@ -94,7 +143,13 @@ class WhisperFeatures(BaseFeatureExtractor):
                     [np.zeros(self._n_samples - audio.shape[0], np.float32), audio])
             elif audio.shape[0] > self._n_samples:
                 audio = audio[-self._n_samples:]
-            feats = self._fn(audio)
+            if self._coalescer is not None:
+                # cross-session batched encode: one device program per
+                # tick for all speaking sessions (the per-session encode
+                # staggers scheduler submissions — see SERVING_r02.json)
+                feats = self._coalescer.encode(audio)
+            else:
+                feats = self._fn(audio)
 
         self.feat_queue.put(feats)
         self._trim_frames()

@@ -87,6 +87,33 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
         return _shared["store"], _shared["scheduler"]
 
 
+def get_shared_feature_coalescer(model: Dict[str, Any], opt):
+    """Process-wide cross-session whisper encoder
+    (engine/feature_coalescer.py): per-session feature encodes stagger
+    the BatchScheduler submissions and super-batches coalesce poorly
+    (measured 9.6 vs 27.2 fps/session, SERVING_r02.json); batching the
+    encodes keeps every super-batch full."""
+    from livetalking_tpu.audio_features.whisper_features import (
+        make_batched_encode_factory,
+    )
+    from livetalking_tpu.engine.feature_coalescer import FeatureCoalescer
+    from livetalking_tpu.engine.scheduler import parse_buckets
+
+    with _shared_lock:
+        if _shared.get("feat_coalescer") is None:
+            factory, n_samples = make_batched_encode_factory(
+                model["whisper_params"], model["whisper_cfg"],
+                batch_size=opt.batch_size, l=opt.l, r=opt.r,
+                dtype=model["dtype"],
+                short_window=bool(getattr(opt, "whisper_short_window",
+                                          False)))
+            fc = FeatureCoalescer(factory, n_samples,
+                                  buckets=parse_buckets(opt))
+            fc.start()
+            _shared["feat_coalescer"] = fc
+        return _shared["feat_coalescer"]
+
+
 def reset_shared_scheduler() -> None:
     """Stop and drop the process-wide scheduler (tests / reconfiguration)."""
     with _shared_lock:
@@ -94,6 +121,9 @@ def reset_shared_scheduler() -> None:
             _shared["scheduler"].stop()
         _shared["scheduler"] = None
         _shared["store"] = None
+        if _shared.get("feat_coalescer") is not None:
+            _shared["feat_coalescer"].stop()
+        _shared["feat_coalescer"] = None
         _shared.pop("config", None)
 
 
@@ -360,9 +390,12 @@ class MuseReal(BaseAvatar):
                 logger.warning(
                     "device_paste_back: crop bucket exceeds frame - host path")
 
+        coalescer = (get_shared_feature_coalescer(model, opt)
+                     if self._scheduler is not None else None)
         self.asr = WhisperFeatures(
             opt, self,
             whisper_params=model["whisper_params"], whisper_cfg=model["whisper_cfg"],
+            coalescer=coalescer,
         )
         self.asr.warm_up()
 

@@ -1,0 +1,107 @@
+"""Cross-session batched feature encoding.
+
+The measured failure mode of per-session feature extraction under
+--coalesce (SERVING_r02.json "per_session_feats_naive"): each session
+serializes its own whisper encode before submitting to the
+BatchScheduler, so submissions stagger, super-batches coalesce poorly
+(<3 of 8 sessions) and bucket padding wastes the rest of the device —
+9.6 fps/session vs 27.2 with coalesced features.
+
+This worker fixes it in the pipeline itself: sessions submit their
+rolling audio windows; one device worker drains whatever is queued and
+runs ONE batched encode per tick (bucketed padding, same discipline as
+engine/scheduler.py). Results resolve to device-resident rows of the
+batched output (no host round-trip) and the per-session feature threads
+then hit the BatchScheduler nearly simultaneously.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from queue import Empty, Queue
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from livetalking_tpu.utils.logger import logger
+
+
+class FeatureCoalescer:
+    """One device worker batching fixed-size feature-encode requests.
+
+    ``batched_fn_factory(k)`` must return a device fn
+    ``(k, window_samples) float32 -> (k, ...)`` (e.g. a jitted batched
+    whisper encode). ``buckets`` are the batch sizes compiled; padding
+    absorbs request counts in between.
+    """
+
+    def __init__(self, batched_fn_factory: Callable[[int], Callable],
+                 window_samples: int,
+                 buckets: Sequence[int] = (1, 2, 4, 8)):
+        self.window_samples = int(window_samples)
+        self.buckets = sorted(buckets)
+        self._factory = batched_fn_factory
+        self._fns: Dict[int, Callable] = {}  # lazy per-bucket compile
+        self._queue: "Queue[Tuple[np.ndarray, Future]]" = Queue()
+        self._quit = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.batches_run = 0
+        self.requests_run = 0
+
+    def submit(self, wav: np.ndarray) -> Future:
+        assert wav.shape == (self.window_samples,), wav.shape
+        fut: Future = Future()
+        self._queue.put((np.asarray(wav, np.float32), fut))
+        return fut
+
+    def encode(self, wav: np.ndarray):
+        return self.submit(wav).result()
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._quit.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="feature-coalescer")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._quit.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _run(self) -> None:
+        logger.info("feature coalescer start (buckets=%s)", self.buckets)
+        while not self._quit.is_set():
+            try:
+                first = self._queue.get(timeout=0.5)
+            except Empty:
+                continue
+            reqs = [first]
+            while len(reqs) < self.buckets[-1]:
+                try:
+                    reqs.append(self._queue.get_nowait())
+                except Empty:
+                    break
+            bucket = next(b for b in self.buckets if b >= len(reqs))
+            if bucket not in self._fns:
+                self._fns[bucket] = self._factory(bucket)
+            wavs = np.zeros((bucket, self.window_samples), np.float32)
+            for i, (w, _f) in enumerate(reqs):
+                wavs[i] = w
+            try:
+                out = self._fns[bucket](wavs)
+                for i, (_w, f) in enumerate(reqs):
+                    if not f.done():
+                        f.set_result(out[i])  # device-resident row
+            except Exception as e:
+                logger.exception("feature coalescer encode failed")
+                for _w, f in reqs:
+                    if not f.done():
+                        f.set_exception(e)
+            self.batches_run += 1
+            self.requests_run += len(reqs)
+        logger.info("feature coalescer stop (batches=%d requests=%d)",
+                    self.batches_run, self.requests_run)
