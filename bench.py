@@ -281,7 +281,7 @@ def main() -> None:
     _forward_subprocess([sys.executable, me, "--metric", "ernerf"],
                         900, "ernerf128_renderfps_per_chip")
     _forward_subprocess([sys.executable, os.path.join(here, "benchmark_asr.py"),
-                         "--runs", "3"], 600, "whisper_tiny_stt_latency")
+                         "--runs", "3"], 900, "whisper_tiny_stt_latency")
     _forward_subprocess([sys.executable, os.path.join(here, "bench_serving.py"),
                          "--secs", "15"], 1800,
                         "musetalk_serving_finalfps_per_session")
