@@ -62,3 +62,56 @@ def test_musetalk_speaks_and_streams(stack):
     finally:
         quit_event.set()
         t.join(timeout=20)
+
+
+def test_musetalk_coalesced_sessions_with_feature_coalescer(stack, tmp_path_factory):
+    """Two MuseTalk sessions under --coalesce: shared BatchScheduler AND
+    shared FeatureCoalescer (cross-session batched whisper encodes,
+    engine/feature_coalescer.py) — both speak, both stream."""
+    from livetalking_tpu.avatars.musetalk_avatar import (
+        _shared,
+        reset_shared_scheduler,
+    )
+
+    _opt, model, avatar = stack
+    data_dir = tmp_path_factory.mktemp("data2")
+    make_synthetic_musetalk_avatar(
+        str(data_dir / "avatars" / "mt2"), model["vae_params"], n_frames=5)
+    avatar2 = plugin.load_avatar("mt2", str(data_dir))
+
+    reset_shared_scheduler()
+    def mk(sid, av):
+        o = default_opt(
+            transport="queue", tts="dummy", batch_size=B, dtype="float32",
+            musetalk_size="tiny", model="musetalk", sessionid=sid,
+            coalesce=True,
+        )
+        return registry.create("avatar", "musetalk", opt=o, model=model,
+                               avatar=av)
+
+    s1, s2 = mk("co_a", avatar), mk("co_b", avatar2)
+    assert s1._scheduler is s2._scheduler is not None
+    assert s1.asr._coalescer is s2.asr._coalescer is not None
+
+    q1, q2 = Event(), Event()
+    t1 = Thread(target=s1.render, args=(q1,), daemon=True)
+    t2 = Thread(target=s2.render, args=(q2,), daemon=True)
+    t1.start(); t2.start()
+    try:
+        s1.put_msg_txt("session one coalesced features check")
+        s2.put_msg_txt("session two coalesced features check")
+        deadline = time.time() + 240
+        f1, f2 = [], []
+        while time.time() < deadline and (len(f1) < 4 or len(f2) < 4):
+            for sess, acc in ((s1, f1), (s2, f2)):
+                try:
+                    acc.append(sess.output.video_queue.get(timeout=0.2))
+                except queue.Empty:
+                    pass
+        assert len(f1) >= 4 and len(f2) >= 4
+        # the coalescer actually ran (not the solo path)
+        assert _shared["feat_coalescer"].requests_run > 0
+    finally:
+        q1.set(); q2.set()
+        t1.join(timeout=15); t2.join(timeout=15)
+        reset_shared_scheduler()
