@@ -272,7 +272,11 @@ def main() -> None:
          "ernerf": bench_ernerf}[sys.argv[2]]()
         return
 
-    bench_wav2lip()  # headline FIRST, inline
+    # headline FIRST — but in a subprocess like every other metric: the
+    # parent must never hold a JAX client, or on directly-attached TPUs
+    # (one process per chip) every later child would fail backend init
+    _forward_subprocess([sys.executable, me, "--metric", "wav2lip"],
+                        900, "wav2lip256_inferfps_per_chip")
     here = os.path.dirname(me)
     _forward_subprocess([sys.executable, me, "--metric", "musetalk"],
                         1500, "musetalk_int8_inferfps_per_chip")

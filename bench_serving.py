@@ -122,7 +122,11 @@ def main() -> dict:
     # submissions then land together and super-batches coalesce fully.
     whisper_params = jit_init(we.init_params, jax.random.PRNGKey(2), we.TINY, dtype)
     wcfg = we.TINY
-    window_samples = (2 * B + 20) * 640
+    # rolling window: (2B + l + r) 20 ms chunks of 320 samples
+    # (audio_features/base.py chunk = 16000 // (fps*2)); SERVING_r02's
+    # committed runs used 640 — a 2x-longer window, i.e. a CONSERVATIVE
+    # overestimate of the real per-batch whisper cost
+    window_samples = (2 * B + 20) * 320
     if args.whisper_short:
         mel_samples = ((window_samples + 319) // 320) * 320
     else:

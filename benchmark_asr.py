@@ -21,6 +21,8 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 

@@ -20,7 +20,7 @@ from livetalking_tpu.audio_features.base import BaseFeatureExtractor, clamp_wind
 
 
 def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
-                                l: int, r: int, dtype=None,
+                                l: int, r: int,
                                 short_window: bool = False):
     """``batched_fn_factory`` for engine.feature_coalescer.FeatureCoalescer:
     factory(k) -> fn((k, n_samples) float32 np) -> (k, B, n_ctx, D) device.
@@ -35,7 +35,6 @@ def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
     from livetalking_tpu.ops.whisper_mel import log_mel_spectrogram
 
     cfg = whisper_cfg or we.TINY
-    dtype = dtype or jnp.bfloat16
     window_frames = 2 * batch_size + l + r
     n_samples = window_frames * (16000 // (25 * 2))  # 320-sample chunks
     if short_window:
@@ -56,7 +55,10 @@ def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
                     w, n_samples=mel_samples))(wavs)
             else:
                 mels = jax.vmap(log_mel_spectrogram)(wavs)
-            states = we.apply_stacked(params, cfg, mels.astype(dtype))
+            # mel stays f32 — EXACTLY the per-session program (which feeds
+            # f32 mel and lets the encoder upcast), so coalesced rows are
+            # bit-identical to solo features for any param dtype
+            states = we.apply_stacked(params, cfg, mels)
             g = jnp.take(states, jnp.asarray(rows).reshape(-1), axis=1)
             return g.reshape(k, batch_size, n_ctx,
                              cfg.d_model).astype(jnp.float32)

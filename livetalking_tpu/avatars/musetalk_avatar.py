@@ -99,18 +99,32 @@ def get_shared_feature_coalescer(model: Dict[str, Any], opt):
     from livetalking_tpu.engine.feature_coalescer import FeatureCoalescer
     from livetalking_tpu.engine.scheduler import parse_buckets
 
+    from livetalking_tpu.engine.scheduler import SchedulerConfigError
+
     with _shared_lock:
+        cfg = {"batch_size": opt.batch_size, "l": opt.l, "r": opt.r,
+               "whisper_short_window": bool(getattr(
+                   opt, "whisper_short_window", False)),
+               "buckets": parse_buckets(opt)}
         if _shared.get("feat_coalescer") is None:
             factory, n_samples = make_batched_encode_factory(
                 model["whisper_params"], model["whisper_cfg"],
-                batch_size=opt.batch_size, l=opt.l, r=opt.r,
-                dtype=model["dtype"],
-                short_window=bool(getattr(opt, "whisper_short_window",
-                                          False)))
+                batch_size=cfg["batch_size"], l=cfg["l"], r=cfg["r"],
+                short_window=cfg["whisper_short_window"])
             fc = FeatureCoalescer(factory, n_samples,
-                                  buckets=parse_buckets(opt))
+                                  buckets=cfg["buckets"])
             fc.start()
+            fc.prewarm()  # background-compile every bucket program
             _shared["feat_coalescer"] = fc
+            _shared["feat_config"] = cfg
+        elif _shared.get("feat_config") != cfg:
+            # a mismatched window geometry would assert (or silently
+            # mis-gather) inside the shared worker — reject like the
+            # scheduler config contract
+            raise SchedulerConfigError(
+                f"coalesce: shared feature coalescer already running with "
+                f"{_shared.get('feat_config')}; conflicting session config "
+                f"{cfg} rejected")
         return _shared["feat_coalescer"]
 
 

@@ -71,6 +71,35 @@ class FeatureCoalescer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail any request still queued so no session blocks forever on
+        # a Future the dead worker will never resolve
+        while True:
+            try:
+                _w, f = self._queue.get_nowait()
+            except Empty:
+                break
+            if not f.done():
+                f.set_exception(RuntimeError("feature coalescer stopped"))
+
+    def prewarm(self) -> threading.Thread:
+        """Compile every bucket's batched program in the background (a
+        first-contact compile inside the worker would stall all sessions'
+        feature encodes while the remote compiler runs)."""
+
+        def warm():
+            for b in self.buckets:
+                try:
+                    if b not in self._fns:
+                        self._fns[b] = self._factory(b)
+                    self._fns[b](np.zeros((b, self.window_samples),
+                                          np.float32))
+                except Exception:
+                    logger.exception("feature coalescer prewarm(%d) failed", b)
+
+        t = threading.Thread(target=warm, daemon=True,
+                             name="feature-coalescer-warm")
+        t.start()
+        return t
 
     def _run(self) -> None:
         logger.info("feature coalescer start (buckets=%s)", self.buckets)

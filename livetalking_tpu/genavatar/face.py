@@ -158,7 +158,11 @@ def detect_track(frames: Sequence[np.ndarray], detector: FaceDetector,
     raw: List[Optional[Box]] = []
     frames = list(frames)
     for s in range(0, len(frames), batch):
-        raw.extend(detector.detect_batch(np.stack(frames[s : s + batch])))
+        chunk = frames[s : s + batch]
+        n = len(chunk)
+        if n < batch:  # pad the ragged tail: one compiled shape, not two
+            chunk = chunk + [chunk[-1]] * (batch - n)
+        raw.extend(detector.detect_batch(np.stack(chunk))[:n])
     boxes: List[Box] = []
     last: Optional[Box] = None
     for box in raw:

@@ -163,6 +163,7 @@ def generate_musetalk_avatar(
     bbox_shift: int = 0,
     version: str = "v15",
     face_detector: Optional[FaceDetector] = None,
+    models_dir: str = "./models",
     progress_callback: Progress = None,
 ) -> str:
     from livetalking_tpu.models.musetalk import encode_avatar_latents
@@ -183,14 +184,19 @@ def generate_musetalk_avatar(
         musetalk_crop_box,
     )
 
-    landmarker = load_pfld_landmarker()
+    landmarker = load_pfld_landmarker(models_dir)
     if landmarker is not None:
         _report(progress_callback, 30, "regressing landmarks")
+
+        def shifted(b):  # detector-box fallback keeps the bbox_shift too
+            x1, y1, x2, y2 = b
+            return (x1, max(0, y1 + bbox_shift), x2, min(H, y2 + bbox_shift))
+
         refined = []
         for frame, box in zip(frames, boxes):
             lms = landmarker.landmarks(frame, box)
             refined.append(
-                musetalk_crop_box(lms, (H, W), bbox_shift) or box)
+                musetalk_crop_box(lms, (H, W), bbox_shift) or shifted(box))
         boxes = refined
     elif bbox_shift:
         boxes = [(x1, max(0, y1 + bbox_shift), x2, min(H, y2 + bbox_shift))
@@ -239,6 +245,7 @@ def generate_ultralight_avatar(
     data_dir: str = "./data",
     unet_checkpoint: Optional[str] = None,
     face_detector: Optional[FaceDetector] = None,
+    models_dir: str = "./models",
     progress_callback: Progress = None,
 ) -> str:
     avatar_dir = os.path.join(data_dir, "avatars", avatar_id)
@@ -258,7 +265,7 @@ def generate_ultralight_avatar(
         ultralight_crop_box,
     )
 
-    landmarker = load_pfld_landmarker()
+    landmarker = load_pfld_landmarker(models_dir)
     if landmarker is not None:
         _report(progress_callback, 45, "regressing landmarks")
         lm_boxes = []

@@ -316,7 +316,6 @@ class PFLDLandmarker:
         if dx or dy or edx or edy:
             crop = cv2.copyMakeBorder(crop, dy, edy, dx, edx,
                                       cv2.BORDER_CONSTANT, 0)
-            sx, sy = sx - 0, sy - 0  # origin already includes the border
         ch, cw = crop.shape[:2]
         inp = cv2.resize(crop, (INPUT_SIZE, INPUT_SIZE)).astype(np.float32) / 255.0
         off = np.asarray(self._fn(self.params, jnp.asarray(inp[None])))[0]

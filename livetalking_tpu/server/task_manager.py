@@ -126,6 +126,7 @@ class TaskManager:
                     video_path, task.avatar_id, data_dir,
                     unet_checkpoint=task.params.get("unet_checkpoint"),
                     face_detector=detector,
+                    models_dir=task.params.get("models_dir", "./models"),
                     progress_callback=progress,
                 )
             elif model_kind == "ernerf":
@@ -133,6 +134,7 @@ class TaskManager:
                     video_path, task.avatar_id, data_dir,
                     size=int(task.params.get("size", 64)),
                     train_steps=int(task.params.get("train_steps", 200)),
+                    face_detector=detector,
                     progress_callback=progress,
                 )
             else:
@@ -152,6 +154,7 @@ class TaskManager:
                     bbox_shift=int(task.params.get("bbox_shift", 0)),
                     version=task.params.get("version", "v15"),
                     face_detector=detector,
+                    models_dir=task.params.get("models_dir", "./models"),
                     progress_callback=progress,
                 )
             self._set(task, status="completed", progress=100, message="completed")

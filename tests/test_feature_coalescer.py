@@ -88,7 +88,7 @@ def test_batched_whisper_factory_matches_solo(rng):
     wf = WhisperFeatures(opt, None, whisper_params=params, whisper_cfg=cfg)
 
     factory, n_samples = make_batched_encode_factory(
-        params, cfg, batch_size=B, l=l, r=r, dtype=jnp.float32)
+        params, cfg, batch_size=B, l=l, r=r)
     assert n_samples == wf._n_samples
 
     wavs = rng.standard_normal((2, n_samples)).astype(np.float32) * 0.1
