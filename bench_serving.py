@@ -39,6 +39,8 @@ import numpy as np
 
 def main() -> dict:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="musetalk",
+                    choices=["musetalk", "wav2lip"])
     ap.add_argument("--sessions", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=20.0)
@@ -67,13 +69,15 @@ def main() -> dict:
     from livetalking_tpu.utils.jaxinit import jit_init
 
     N, B = args.sessions, args.batch
-    use_int8 = not args.no_int8
+    use_int8 = not args.no_int8 and args.family == "musetalk"
     dtype = jnp.bfloat16
     cfg = sd_unet.MUSETALK
     rng = np.random.default_rng(0)
 
-    print(f"# building models (int8={use_int8}, sessions={N}, B={B}) "
-          f"on {jax.devices()[0].platform}", flush=True)
+    print(f"# building models (family={args.family}, int8={use_int8}, "
+          f"sessions={N}, B={B}) on {jax.devices()[0].platform}", flush=True)
+    if args.family == "wav2lip":
+        return _wav2lip_serving(args, N, B, rng)
     unet_params = jit_init(sd_unet.init_params, jax.random.PRNGKey(0), cfg, dtype)
     vae_params = jit_init(sd_vae.init_params, jax.random.PRNGKey(1), dtype)
     if use_int8:
@@ -266,6 +270,98 @@ def main() -> dict:
                        "BatchScheduler; per-batch whisper feature encode; "
                        "result fetched as a 64x frame subsample (tunnel "
                        "workaround, computation fully serialized)",
+    }
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+def _wav2lip_serving(args, N, B, rng) -> dict:
+    """wav2lip-256 variant: uint8 face cycles in the store, mel feature
+    windows per batch (cheap vs whisper, computed per round on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from livetalking_tpu.engine.scheduler import AvatarStore, BatchScheduler
+    from livetalking_tpu.models import wav2lip as w2l
+    from livetalking_tpu.utils.jaxinit import jit_init
+
+    S = 256
+    params = jit_init(w2l.init_params, jax.random.PRNGKey(0),
+                      dtype=jnp.bfloat16)
+    store = AvatarStore(S)
+    offsets = []
+    n_frames = 25
+    for s in range(N):
+        faces = rng.integers(0, 255, (n_frames, S, S, 3), dtype=np.uint8)
+        off, _ = store.add(f"w2l_{s}", faces)
+        offsets.append(off)
+
+    def step_factory(total):
+        step = w2l.make_infer_fn(total, S, jnp.bfloat16)
+
+        def wrapped(p, buffer, idxs, mel):
+            return step(p, buffer, idxs, mel)[:, ::64, ::64, :]
+        return jax.jit(wrapped)
+
+    sched = BatchScheduler(params, store, step_factory, B, buckets=(N,))
+    sched.start()
+    mel = jnp.asarray(rng.standard_normal((B, 80, 16)).astype(np.float32))
+
+    print("# compiling super-batch...", flush=True)
+    sched.infer(np.arange(B, dtype=np.int32) % n_frames, mel)
+    print("# compile done", flush=True)
+
+    import threading
+    counts = [0] * N
+    stop = threading.Event()
+    errors = []
+
+    def driver():
+        local = np.random.default_rng(0)
+        warm = 0
+        try:
+            while not stop.is_set():
+                futs = []
+                for s in range(N):
+                    idxs = (offsets[s] + (local.integers(0, n_frames - B)
+                                          + np.arange(B)) % n_frames
+                            ).astype(np.int32)
+                    futs.append(sched.submit(idxs, mel))
+                for s, f in enumerate(futs):
+                    f.result(timeout=120)
+                    if warm >= args.warmup:
+                        counts[s] += B
+                warm += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(str(e))
+
+    t = threading.Thread(target=driver, daemon=True)
+    t.start()
+    while any(c == 0 for c in counts) and not errors:
+        time.sleep(0.2)
+    snap0 = list(counts)
+    t0 = time.time()
+    time.sleep(args.secs)
+    snap1 = list(counts)
+    elapsed = time.time() - t0
+    stop.set()
+    t.join(timeout=60)
+    sched.stop()
+    if errors:
+        raise RuntimeError("; ".join(errors))
+    per_session = [(b - a) / elapsed for a, b in zip(snap0, snap1)]
+    result = {
+        "metric": "wav2lip_serving_finalfps_per_session",
+        "value": round(min(per_session), 2),
+        "unit": "frames/s/session",
+        "vs_baseline": round(min(per_session) / 25.0, 2),
+        "sessions": N, "batch": B,
+        "per_session_fps": [round(v, 2) for v in per_session],
+        "aggregate_fps": round(sum(per_session), 1),
+        "elapsed_s": round(elapsed, 1),
     }
     print(json.dumps(result), flush=True)
     if args.out:
