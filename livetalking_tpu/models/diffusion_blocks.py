@@ -191,11 +191,24 @@ def quantize_conv(p: Params) -> Params:
     return {"wq": wq, "ws": scale, "b": jnp.asarray(p["b"], jnp.float32)}
 
 
-def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
+def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1,
+           residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """int8 conv; activation scale is a calibrated static scalar when
     present (``as`` — lets XLA fuse the quantize into the preceding
     elementwise ops), else computed dynamically (extra full pass).
-    Accumulate int32 on the MXU, dequantize + bias in f32."""
+    Accumulate int32 on the MXU, dequantize + bias in f32.
+
+    The standalone Pallas implicit-GEMM kernel (ops/pallas_conv
+    ``conv3x3_q``) is deliberately NOT routed here: although its GEMM
+    alone beats XLA's conv lowering (~59% vs ~47% of the int8 MXU peak
+    at the VAE-decoder 256px shapes, chained-loop A/B), inserting it
+    into the decode graph LOSES end to end (57.3 vs 40.5 ms B=16
+    decode) because the pallas call is a fusion barrier — XLA can no
+    longer fold the GN/silu/quantize producers and dequant/residual
+    consumers into the surrounding passes, and the extra HBM
+    materializations outweigh the faster GEMM. The win needs the whole
+    producer chain inside the kernel: see ``conv3x3_gnq`` and
+    sd_vae's fused decoder path."""
     if "as" in pq:
         sx = pq["as"]
     else:
@@ -208,7 +221,10 @@ def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp
         preferred_element_type=jnp.int32,
     )
     y = y.astype(jnp.float32) * (sx * pq["ws"]) + pq["b"]
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    return y
 
 
 def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:

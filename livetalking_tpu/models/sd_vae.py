@@ -59,9 +59,14 @@ def encode(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return mean * SCALING_FACTOR
 
 
-def decode(params: Params, z: jnp.ndarray) -> jnp.ndarray:
-    """(B, 32, 32, 4) scaled latents -> (B, 256, 256, 3) RGB in [0, 1]."""
-    z = z / SCALING_FACTOR
+def decode(params: Params, z: jnp.ndarray, *,
+           dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B, 32, 32, 4) scaled latents -> (B, 256, 256, 3) RGB in [0, 1].
+
+    bf16 activations by default (see ``decode_int8`` for why); pass
+    ``dtype=jnp.float32`` for full-precision runs (converter parity
+    tests).  The final clip returns f32 either way."""
+    z = (z / SCALING_FACTOR).astype(dtype)
     h = conv(params["post_quant_conv"], z, padding=0)
     h = conv(params["dec_conv_in"], h)
     h = resnet_block(params["dec_mid"]["r0"], h)
@@ -92,10 +97,10 @@ from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
 
 def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     h = _conv_q(p["conv1"], silu(group_norm(p["norm1"], x, eps=eps)))
-    h = _conv_q(p["conv2"], silu(group_norm(p["norm2"], h, eps=eps)))
+    a = silu(group_norm(p["norm2"], h, eps=eps))
     if "conv_shortcut" in p:
         x = _conv_q(p["conv_shortcut"], x, padding=0)
-    return x + h
+    return _conv_q(p["conv2"], a, residual=x)
 
 
 def quantize_decoder(params: Params) -> Params:
@@ -197,8 +202,15 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
 
 
 def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
-    """int8 twin of ``decode``; same contract, quantized up-blocks."""
-    z = z / SCALING_FACTOR
+    """int8 twin of ``decode``; same contract, quantized up-blocks.
+
+    Activations run bf16 between ops regardless of the latent dtype:
+    f32 activations double the HBM traffic of every GN/silu/quantize
+    pass and push the Pallas conv's f32 out-block past the 16 MB
+    scoped-VMEM limit at the 128px 512-ch shape (the serving path
+    already feeds bf16 U-Net outputs; this makes standalone calls
+    match it)."""
+    z = (z / SCALING_FACTOR).astype(jnp.bfloat16)
     h = conv(params_q["post_quant_conv"], z, padding=0)
     h = conv(params_q["dec_conv_in"], h)
     h = resnet_block(params_q["dec_mid"]["r0"], h)

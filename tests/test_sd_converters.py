@@ -443,7 +443,7 @@ def test_vae_converter_full_model_parity(rng):
          * sd_vae.SCALING_FACTOR)
     with torch.no_grad():
         y_want = m.decode(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
-    y_got = np.asarray(sd_vae.decode(params, jnp.asarray(z)))
+    y_got = np.asarray(sd_vae.decode(params, jnp.asarray(z), dtype=jnp.float32))
     np.testing.assert_allclose(
         y_got, y_want.transpose(0, 2, 3, 1), atol=2e-3)
 
@@ -466,5 +466,5 @@ def test_vae_converter_legacy_attention_keys(rng):
          * sd_vae.SCALING_FACTOR)
     with torch.no_grad():
         want = m.decode(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
-    got = np.asarray(sd_vae.decode(params, jnp.asarray(z)))
+    got = np.asarray(sd_vae.decode(params, jnp.asarray(z), dtype=jnp.float32))
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-3)
