@@ -16,7 +16,8 @@ choice for a fixed avatar cache); ``decode`` maps latents back to RGB in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple
+import os
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,21 +202,158 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
     return params_q
 
 
+def _gn_scale_shift(gn_p: Params, s1: jnp.ndarray, s2: jnp.ndarray,
+                    hw: int, groups: int = 32, eps: float = 1e-6):
+    """GroupNorm per-(batch, channel) affine scale/shift from per-channel
+    spatial moments (s1 = sum_hw x, s2 = sum_hw x^2, both (B, C) f32) —
+    the same exact group combination ``group_norm`` performs, minus the
+    stats pass over the tensor (the fused conv kernel's epilogue already
+    accumulated the moments)."""
+    B, C = s1.shape
+    n = hw * (C // groups)
+    g1 = s1.reshape(B, groups, C // groups).sum(-1)
+    g2 = s2.reshape(B, groups, C // groups).sum(-1)
+    mu = g1 / n
+    var = jnp.maximum(g2 / n - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mu_c = jnp.repeat(mu, C // groups, axis=-1)
+    inv_c = jnp.repeat(inv, C // groups, axis=-1)
+    scale = inv_c * gn_p["g"].astype(jnp.float32)[None]
+    shift = gn_p["b"].astype(jnp.float32)[None] - mu_c * scale
+    return scale, shift
+
+
+def _fused_resnet_q(rp: Params, h: jnp.ndarray, s1: jnp.ndarray,
+                    s2: jnp.ndarray, interpret: bool = False):
+    """Quantized resnet block as two fused pallas convs: each kernel
+    consumes the GN affine derived from the PREVIOUS kernel's moment
+    epilogue and emits its own moments. The residual (identity or the
+    XLA 1x1 int8 shortcut) rides the second conv's epilogue."""
+    from livetalking_tpu.ops.pallas_conv import conv3x3_gnq
+
+    B, H, W, C = h.shape
+    sc1, sh1 = _gn_scale_shift(rp["norm1"], s1, s2, H * W)
+    c1 = rp["conv1"]
+    h1, t1, t2 = conv3x3_gnq(h, sc1, sh1, c1["as"], c1["wq"],
+                             c1["as"] * c1["ws"], c1["b"],
+                             interpret=interpret)
+    sc2, sh2 = _gn_scale_shift(rp["norm2"], t1, t2, H * W)
+    res = h
+    if "conv_shortcut" in rp:
+        res = _conv_q(rp["conv_shortcut"], h, padding=0)
+    c2 = rp["conv2"]
+    return conv3x3_gnq(h1, sc2, sh2, c2["as"], c2["wq"],
+                       c2["as"] * c2["ws"], c2["b"], residual=res,
+                       interpret=interpret)
+
+
+def _fused_chain_fits(params_q: Params, h_px: int, min_h: int = 64) -> bool:
+    """True when EVERY conv in the up-block chain after the first
+    upsample maps onto the fused kernel (the moment chain cannot mix
+    kernel and XLA GroupNorms mid-stream without reintroducing stats
+    passes)."""
+    from livetalking_tpu.ops.pallas_conv import conv3x3_gnq_fits
+
+    blocks = params_q["dec_up"]
+    if not all("as" in blk["resnets"][0]["conv1"] for blk in blocks):
+        return False  # uncalibrated tree (quantize-only benches)
+    px = h_px
+    cin = blocks[0]["resnets"][-1]["conv2"]["wq"].shape[-1]
+    for bi, blk in enumerate(blocks):
+        if bi == 0:
+            if "up" not in blk:
+                return False
+            px *= 2
+            if not conv3x3_gnq_fits(px, px, cin, cin, min_h):
+                return False
+            continue
+        for rp in blk["resnets"]:
+            cout = rp["conv1"]["wq"].shape[-1]
+            if not (conv3x3_gnq_fits(px, px, cin, cout, min_h)
+                    and conv3x3_gnq_fits(px, px, cout, cout, min_h)):
+                return False
+            cin = cout
+        if "up" in blk:
+            px *= 2
+            if not conv3x3_gnq_fits(px, px, cin, cin, min_h):
+                return False
+    return True
+
+
+def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
+                      interpret: bool = False,
+                      from_block: Optional[int] = None) -> jnp.ndarray:
+    """Up-block chain on the fused pallas kernel. ``h`` is the mid-block
+    output; see ``decode_int8`` for the gate.
+
+    ``from_block``: first up-block whose UPSAMPLER conv enters the fused
+    chain (earlier blocks run the XLA path; an upsampler input carries
+    no norm, so it starts the moment chain without a stats pass).
+    Default from $LT_FUSED_VAE_FROM, else 0 (everything eligible)."""
+    from livetalking_tpu.ops.pallas_conv import conv3x3_gnq
+
+    if from_block is None:
+        from_block = int(os.environ.get("LT_FUSED_VAE_FROM", "0"))
+    blocks = params_q["dec_up"]
+    s1 = s2 = None
+    for bi, blk in enumerate(blocks):
+        if s1 is None:                      # XLA until the chain starts
+            for rp in blk["resnets"]:
+                h = _resnet_block_q(rp, h)
+        else:
+            for rp in blk["resnets"]:
+                h, s1, s2 = _fused_resnet_q(rp, h, s1, s2,
+                                            interpret=interpret)
+        if "up" in blk:
+            if s1 is None and bi < from_block:
+                h = _conv_q(blk["up"], upsample_nearest2x(h))
+                continue
+            up = blk["up"]
+            h, s1, s2 = conv3x3_gnq(upsample_nearest2x(h), None, None,
+                                    up["as"], up["wq"], up["as"] * up["ws"],
+                                    up["b"], interpret=interpret)
+    if s1 is None:
+        h = _conv_q(params_q["dec_conv_out"],
+                    silu(group_norm(params_q["dec_norm_out"], h)))
+        return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    sc, sh = _gn_scale_shift(params_q["dec_norm_out"], s1, s2,
+                             h.shape[1] * h.shape[2])
+    a = h.astype(jnp.float32) * sc[:, None, None, :] + sh[:, None, None, :]
+    a = (a * jax.nn.sigmoid(a)).astype(h.dtype)
+    h = _conv_q(params_q["dec_conv_out"], a)
+    return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
 def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
     """int8 twin of ``decode``; same contract, quantized up-blocks.
 
-    Activations run bf16 between ops regardless of the latent dtype:
-    f32 activations double the HBM traffic of every GN/silu/quantize
-    pass and push the Pallas conv's f32 out-block past the 16 MB
-    scoped-VMEM limit at the 128px 512-ch shape (the serving path
-    already feeds bf16 U-Net outputs; this makes standalone calls
-    match it)."""
+    Activations run bf16 between ops regardless of the latent dtype
+    (f32 would double the HBM traffic of every between-op pass; the
+    serving path already feeds bf16 U-Net outputs).
+
+    LT_FUSED_VAE=1 (TPU, calibrated tree) routes the up-block chain
+    onto the fused GroupNorm+SiLU+quantize+conv pallas kernel
+    (ops/pallas_conv ``conv3x3_gnq``): one kernel per conv, GroupNorm
+    statistics ride the previous kernel's epilogue, so the between-conv
+    elementwise / quantize / stats HBM passes disappear. OPT-IN for
+    now: measured B=16 v5e the fused chain runs 50.2 ms vs 40.5 pure
+    XLA — the fused RESNETS are at or slightly better than XLA parity
+    (256px 128ch: 2.96 vs 3.18 ms marginal), but the UPSAMPLER convs
+    lose big (256px 256ch: 12.7 vs 7.1 ms; the kernel re-reads the 4x
+    upsampled bf16 tensor with halo amplification while XLA folds the
+    int8 quantize into the upsample write). Flips on by default if/when
+    the upsampler kernel grows an in-VMEM nearest-2x prologue that
+    DMAs the quarter-size pre-upsample tensor."""
     z = (z / SCALING_FACTOR).astype(jnp.bfloat16)
     h = conv(params_q["post_quant_conv"], z, padding=0)
     h = conv(params_q["dec_conv_in"], h)
     h = resnet_block(params_q["dec_mid"]["r0"], h)
     h = spatial_attention(params_q["dec_mid"]["attn"], h)
     h = resnet_block(params_q["dec_mid"]["r1"], h)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("LT_FUSED_VAE", "0") == "1"
+            and _fused_chain_fits(params_q, h.shape[1])):
+        return _decode_int8_fused(params_q, h)
     for blk in params_q["dec_up"]:
         for rp in blk["resnets"]:
             h = _resnet_block_q(rp, h)

@@ -66,7 +66,8 @@ except ImportError:  # pragma: no cover - pallas unavailable
     pl = None
     pltpu = None
 
-__all__ = ["conv3x3_q", "conv3x3_bf16", "conv3x3_fits"]
+__all__ = ["conv3x3_q", "conv3x3_bf16", "conv3x3_fits",
+           "conv3x3_gnq", "conv3x3_gnq_fits"]
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -229,3 +230,245 @@ def conv3x3_bf16(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                          jnp.ones((O,), jnp.float32),
                          bias.astype(jnp.float32), residual,
                          jnp.float32, out_dtype, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm->SiLU->quantize->conv3x3->dequant(+residual)(+moments)
+# ---------------------------------------------------------------------------
+#
+# The production VAE-decoder kernel (see the module docstring for why the
+# standalone conv kernel loses in-graph). One pallas_call per decoder
+# conv covers the whole resnet interior:
+#
+#   in  : x (B, H, W, C) bf16 in HBM, UNPADDED — the previous conv's
+#         output; GroupNorm scale/shift (B, C) f32 precomputed from the
+#         previous kernel's channel moments (a (B, C)-sized XLA op).
+#   body: DMA an overlapping (TH+2, W, C) row window (3-case at the
+#         H edges: the missing halo row is masked to zero in activation
+#         space, which is exactly conv zero-padding); apply
+#         a = silu(x * scale + shift) in f32; quantize with the conv's
+#         calibrated static activation scale; implicit GEMM
+#         P(TH*W, 3C) @ W'(3C, 3O) in int8 with int32 accumulation;
+#         fold the three dx taps with output-side shifted adds
+#         (W edges get zero slabs — conv zero-padding again).
+#   out : y = Z * (act_scale*w_scale)[o] + bias[o] (+ residual) in bf16,
+#         PLUS the per-channel spatial moments sum(y), sum(y^2) (B, O)
+#         f32, accumulated across row tiles — the next GroupNorm's
+#         statistics, so the between-conv stats pass disappears.
+#
+# HBM traffic per conv collapses to: read x once (in the window DMA),
+# write y once, read the residual where fused — the GN-apply/SiLU/
+# quantize elementwise pass, the int8 materialization, the pad copy,
+# and the next GN's stats read are all gone.
+
+
+def _vmem_bytes_gnq(TH: int, W: int, C: int, O: int) -> int:
+    win = 2 * (TH + 2) * W * C * 2       # bf16 window, double-buffered
+    af32 = (TH + 2) * W * C * 4          # f32 activation temp
+    aq = (TH + 2) * W * C                # int8 activations
+    p = TH * W * 3 * C                   # patch matrix
+    z = TH * W * 3 * O * 4               # int32 GEMM out
+    acc = 2 * TH * W * O * 4             # shifted adds + f32 epilogue
+    out = 2 * TH * W * O * 2
+    res = 2 * TH * W * O * 2
+    w = 9 * C * O
+    return win + af32 + aq + p + z + acc + out + res + w
+
+
+# The gnq budget is looser than the standalone kernel's: the f32
+# activation/epilogue temps in the formula are streamed by Mosaic, not
+# fully resident, so the formula overestimates. 14.5 MB accepts the
+# 128px 512->512 decoder shape at TH=4 (formula says 14.0 MB; compiles
+# and runs within the 16 MB VMEM).
+_VMEM_BUDGET_GNQ = int(14.5 * 1024 * 1024)
+
+
+def _pick_th_gnq(H: int, W: int, C: int, O: int) -> Optional[int]:
+    for th in (8, 4):
+        if H % th == 0 and H // th >= 2 and \
+                _vmem_bytes_gnq(th, W, C, O) <= _VMEM_BUDGET_GNQ:
+            return th
+    return None
+
+
+def conv3x3_gnq_fits(H: int, W: int, C: int, O: int, min_h: int = 64) -> bool:
+    if C % 128 or O % 128 or W % 8 or H < min_h or W < min_h:
+        return False
+    return _pick_th_gnq(H, W, C, O) is not None
+
+
+def _gnq_kernel(x_hbm, w_ref, act_ref, scale_ref, bias_ref, gns_ref, gnb_ref,
+                res_ref, o_ref, s1_ref, s2_ref, win, sems,
+                *, TH, H, W, C, O, n_tiles, has_gn, has_res):
+    i = pl.program_id(0)
+
+    def start(slot, step):
+        b = step // n_tiles
+        t = step % n_tiles
+
+        @pl.when(t == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(0, TH + 1)],
+                win.at[slot, pl.ds(1, TH + 1)],
+                sems.at[slot]).start()
+
+        @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(t * TH - 1, TH + 2)],
+                win.at[slot],
+                sems.at[slot]).start()
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(H - TH - 1, TH + 1)],
+                win.at[slot, pl.ds(0, TH + 1)],
+                sems.at[slot]).start()
+
+    def wait(slot, step):
+        t = step % n_tiles
+        edge = jnp.logical_or(t == 0, t == n_tiles - 1)
+
+        @pl.when(edge)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, TH + 1)],
+                win.at[slot, pl.ds(0, TH + 1)],
+                sems.at[slot]).wait()
+
+        @pl.when(jnp.logical_not(edge))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, TH + 2)],
+                win.at[slot],
+                sems.at[slot]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    wait(i % 2, i)
+    t = i % n_tiles
+
+    xw = win[i % 2].astype(jnp.float32)  # (TH+2, W, C)
+    if has_gn:
+        a = xw * gns_ref[0][None] + gnb_ref[0][None]
+        a = a * jax.nn.sigmoid(a)
+    else:
+        a = xw
+    # H-edge halo rows -> 0 in activation space == conv zero padding.
+    # (Also kills the uninitialized-scratch garbage on edge tiles.)
+    row = t * TH - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, 1, 1), 0)
+    a = jnp.where(jnp.logical_and(row >= 0, row < H), a, 0.0)
+    aq = jnp.clip(jnp.round(a / act_ref[0, 0]), -127, 127).astype(jnp.int8)
+
+    p = jnp.concatenate(
+        [aq[dy:dy + TH].reshape(TH * W, C) for dy in range(3)], axis=1)
+    z3 = jnp.dot(p, w_ref[:, :],
+                 preferred_element_type=jnp.int32).reshape(TH, W, 3 * O)
+    zero = jnp.zeros((TH, 1, O), jnp.int32)
+    acc = (jnp.concatenate([zero, z3[:, :W - 1, 0:O]], axis=1)
+           + z3[:, :, O:2 * O]
+           + jnp.concatenate([z3[:, 1:, 2 * O:3 * O], zero], axis=1))
+    y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    if has_res:
+        y = y + res_ref[0].astype(jnp.float32)
+    yb = y.astype(o_ref.dtype)
+    o_ref[0] = yb
+
+    yf = yb.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(0, 1))
+    s2 = jnp.sum(yf * yf, axis=(0, 1))
+
+    @pl.when(t == 0)
+    def _():
+        s1_ref[0, 0] = s1
+        s2_ref[0, 0] = s2
+
+    @pl.when(t > 0)
+    def _():
+        s1_ref[0, 0] += s1
+        s2_ref[0, 0] += s2
+
+
+def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
+                gn_shift: Optional[jnp.ndarray], act_scale: jnp.ndarray,
+                wq: jnp.ndarray, out_scale: jnp.ndarray, bias: jnp.ndarray,
+                residual: Optional[jnp.ndarray] = None,
+                out_dtype=jnp.bfloat16, *, interpret: bool = False):
+    """Fused GN-apply+SiLU+quantize+conv3x3+dequant(+residual) with
+    channel-moment epilogue.
+
+    x (B,H,W,C) bf16; gn_scale/gn_shift (B,C) f32 (None = quantize-only
+    prologue, for the upsampler convs whose input has no norm);
+    act_scale scalar f32 (static calibrated); wq (3,3,C,O) int8;
+    out_scale (O,) f32 (= act_scale * per-channel weight scale); bias
+    (O,) f32; residual (B,H,W,O) optional.
+
+    Returns (y, s1, s2): y (B,H,W,O) ``out_dtype`` and the per-channel
+    spatial moments s1 = sum_hw y, s2 = sum_hw y^2, both (B,O) f32 —
+    feed them to the next GroupNorm's scale/shift computation."""
+    B, H, W, C = x.shape
+    O = wq.shape[-1]
+    TH = _pick_th_gnq(H, W, C, O)
+    n_tiles = H // TH
+    has_gn = gn_scale is not None
+    has_res = residual is not None
+
+    # (B, 1, C) with (1, 1, C) blocks: same (8, 128)-divisibility
+    # workaround as the moment outputs below
+    gns = (gn_scale.astype(jnp.float32).reshape(B, 1, C) if has_gn
+           else jnp.zeros((1, 1, C), jnp.float32))
+    gnb = (gn_shift.astype(jnp.float32).reshape(B, 1, C) if has_gn
+           else jnp.zeros((1, 1, C), jnp.float32))
+    gn_spec = (pl.BlockSpec((1, 1, C), lambda i, nt=n_tiles: (i // nt, 0, 0))
+               if has_gn else pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0)))
+    res_spec = (pl.BlockSpec((1, TH, W, O),
+                             lambda i, nt=n_tiles: (i // nt, i % nt, 0, 0))
+                if has_res else pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+    res_arg = residual if has_res else jnp.zeros((1, 1), out_dtype)
+
+    scale = jnp.broadcast_to(out_scale.astype(jnp.float32), (O,))
+    y, s1, s2 = pl.pallas_call(
+        functools.partial(_gnq_kernel, TH=TH, H=H, W=W, C=C, O=O,
+                          n_tiles=n_tiles, has_gn=has_gn, has_res=has_res),
+        grid=(B * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec((3 * C, 3 * O), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, O), lambda i: (0, 0)),
+            pl.BlockSpec((1, O), lambda i: (0, 0)),
+            gn_spec,
+            gn_spec,
+            res_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TH, W, O),
+                         lambda i, nt=n_tiles: (i // nt, i % nt, 0, 0)),
+            # (1, 1, O) blocks: the second-minor block dim must equal
+            # the (size-1) array dim to satisfy the TPU lowering's
+            # (8, 128)-divisibility rule on small outputs
+            pl.BlockSpec((1, 1, O), lambda i, nt=n_tiles: (i // nt, 0, 0)),
+            pl.BlockSpec((1, 1, O), lambda i, nt=n_tiles: (i // nt, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, O), out_dtype),
+            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2, W, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), _fold_w(wq),
+      jnp.reshape(act_scale.astype(jnp.float32), (1, 1)),
+      scale[None], bias.astype(jnp.float32)[None], gns, gnb, res_arg)
+    return y, s1.reshape(B, O), s2.reshape(B, O)

@@ -79,3 +79,108 @@ def test_fits_gating():
     assert not conv3x3_fits(32, 32, 512, 512)   # small maps: XLA path
     assert not conv3x3_fits(256, 256, 64, 128)  # lane-unaligned channels
     assert not conv3x3_fits(96, 96, 128, 128) or 96 % 8 == 0  # width rule
+
+
+# ---------------------------------------------------------------------------
+# conv3x3_gnq — the fused GN+SiLU+quantize+conv production kernel
+# ---------------------------------------------------------------------------
+
+from livetalking_tpu.ops.pallas_conv import conv3x3_gnq, conv3x3_gnq_fits
+
+
+def _gnq_reference(x, gn_scale, gn_shift, act_scale, wq, out_scale, bias,
+                   residual=None):
+    """Straight-line XLA replica of the fused kernel's math."""
+    a = x.astype(jnp.float32)
+    if gn_scale is not None:
+        a = a * gn_scale[:, None, None, :] + gn_shift[:, None, None, :]
+        a = a * jax.nn.sigmoid(a)
+    aq = jnp.clip(jnp.round(a / act_scale), -127, 127).astype(jnp.int8)
+    z = _xla_conv(aq, wq, jnp.int32)
+    y = z.astype(jnp.float32) * out_scale + bias
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    yb = y.astype(jnp.bfloat16)
+    yf = yb.astype(jnp.float32)
+    return yb, jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))
+
+
+@pytest.mark.parametrize("gn", [True, False])
+def test_gnq_matches_reference(gn):
+    rng = np.random.default_rng(3)
+    B, H, W, C, O = 2, 32, 24, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32),
+                    jnp.bfloat16)
+    gns = jnp.asarray(rng.uniform(0.5, 1.5, (B, C)).astype(np.float32)) if gn else None
+    gnb = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.2) if gn else None
+    act = jnp.asarray(0.011, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, C, O), dtype=np.int8))
+    osc = jnp.asarray(rng.uniform(5e-5, 2e-4, O).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(O).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.standard_normal((B, H, W, O)).astype(np.float32),
+                      jnp.bfloat16)
+
+    y, s1, s2 = conv3x3_gnq(x, gns, gnb, act, wq, osc, bias, residual=res,
+                            interpret=True)
+    yr, s1r, s2r = _gnq_reference(x, gns, gnb, act, wq, osc, bias, residual=res)
+    scale_bar = float(jnp.max(osc))
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(yr, np.float32),
+                               atol=max(2e-2, scale_bar * 4), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               rtol=1e-3, atol=1e-2 * H * W)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                               rtol=1e-3, atol=1e-2 * H * W)
+
+
+def test_gnq_fits_gating():
+    assert conv3x3_gnq_fits(256, 256, 128, 128)
+    assert conv3x3_gnq_fits(64, 64, 512, 512)
+    assert not conv3x3_gnq_fits(32, 32, 512, 512)          # below min_h
+    assert conv3x3_gnq_fits(32, 32, 512, 512, min_h=16)    # test override
+    assert not conv3x3_gnq_fits(256, 256, 64, 128)         # lane-unaligned
+
+
+def test_fused_decode_matches_xla_path():
+    """The fused up-block chain (moments riding kernel epilogues) must
+    reproduce the pure-XLA int8 decode to rounding noise."""
+    import livetalking_tpu.models.sd_vae as sv
+    from livetalking_tpu.avatars.musetalk_avatar import _with_dummy_scales
+    from livetalking_tpu.utils.jaxinit import jit_init
+
+    vp = jit_init(sv.init_params, jax.random.PRNGKey(1), jnp.bfloat16)
+    vq = _with_dummy_scales(sv.quantize_decoder(vp))
+    # realistic activation scales: calibrate on the test latents so the
+    # int8 grids are meaningful (dummy scale 1.0 would crush activations)
+    rng = np.random.default_rng(4)
+    z = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+                    * sv.SCALING_FACTOR)
+    vq = sv.calibrate_decoder(vp, vq, z)
+
+    assert sv._fused_chain_fits(vq, 8, min_h=16)
+
+    # shared pre-chain (latent convs + mid block)
+    zz = (z / sv.SCALING_FACTOR).astype(jnp.bfloat16)
+    h = sv.conv(vq["post_quant_conv"], zz, padding=0)
+    h = sv.conv(vq["dec_conv_in"], h)
+    h = sv.resnet_block(vq["dec_mid"]["r0"], h)
+    h = sv.spatial_attention(vq["dec_mid"]["attn"], h)
+    h = sv.resnet_block(vq["dec_mid"]["r1"], h)
+
+    got = sv._decode_int8_fused(vq, h, interpret=True)
+
+    hx = h
+    for blk in vq["dec_up"]:
+        for rp in blk["resnets"]:
+            hx = sv._resnet_block_q(rp, hx)
+        if "up" in blk:
+            hx = sv._conv_q(blk["up"], sv.upsample_nearest2x(hx))
+    hx = sv._conv_q(vq["dec_conv_out"],
+                    sv.silu(sv.group_norm(vq["dec_norm_out"], hx)))
+    want = jnp.clip(hx.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    mse = float(np.mean((g - w) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, f"fused decode diverges from XLA path: {psnr:.1f} dB"
