@@ -264,7 +264,7 @@ def _fused_chain_fits(params_q: Params, h_px: int, min_h: int = 64) -> bool:
             if "up" not in blk:
                 return False
             px *= 2
-            if not conv3x3_gnq_fits(px, px, cin, cin, min_h):
+            if not conv3x3_gnq_fits(px, px, cin, cin, min_h, upsample=True):
                 return False
             continue
         for rp in blk["resnets"]:
@@ -275,7 +275,7 @@ def _fused_chain_fits(params_q: Params, h_px: int, min_h: int = 64) -> bool:
             cin = cout
         if "up" in blk:
             px *= 2
-            if not conv3x3_gnq_fits(px, px, cin, cin, min_h):
+            if not conv3x3_gnq_fits(px, px, cin, cin, min_h, upsample=True):
                 return False
     return True
 
@@ -309,9 +309,11 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                 h = _conv_q(blk["up"], upsample_nearest2x(h))
                 continue
             up = blk["up"]
-            h, s1, s2 = conv3x3_gnq(upsample_nearest2x(h), None, None,
+            # nearest-2x rides the kernel prologue: DMA the small tensor
+            h, s1, s2 = conv3x3_gnq(h, None, None,
                                     up["as"], up["wq"], up["as"] * up["ws"],
-                                    up["b"], interpret=interpret)
+                                    up["b"], upsample=True,
+                                    interpret=interpret)
     if s1 is None:
         h = _conv_q(params_q["dec_conv_out"],
                     silu(group_norm(params_q["dec_norm_out"], h)))

@@ -283,24 +283,50 @@ def _vmem_bytes_gnq(TH: int, W: int, C: int, O: int) -> int:
 _VMEM_BUDGET_GNQ = int(14.5 * 1024 * 1024)
 
 
-def _pick_th_gnq(H: int, W: int, C: int, O: int) -> Optional[int]:
+def _vmem_bytes_gnq_up(TH: int, W: int, C: int, O: int) -> int:
+    # upsample variant: the DMA window is quarter-size; the expanded
+    # int8 window replaces the full-size bf16 one
+    win = 2 * (TH // 2 + 2) * (W // 2) * C * 2
+    af32 = (TH // 2 + 2) * (W // 2) * C * 4
+    aq = (TH + 2) * W * C + (TH // 2 + 2) * (W // 2) * C
+    p = TH * W * 3 * C
+    z = TH * W * 3 * O * 4
+    acc = 2 * TH * W * O * 4
+    out = 2 * TH * W * O * 2
+    w = 9 * C * O
+    return win + af32 + aq + p + z + acc + out + w
+
+
+def _pick_th_gnq(H: int, W: int, C: int, O: int,
+                 upsample: bool = False) -> Optional[int]:
+    fml = _vmem_bytes_gnq_up if upsample else _vmem_bytes_gnq
     for th in (8, 4):
         if H % th == 0 and H // th >= 2 and \
-                _vmem_bytes_gnq(th, W, C, O) <= _VMEM_BUDGET_GNQ:
+                fml(th, W, C, O) <= _VMEM_BUDGET_GNQ:
             return th
     return None
 
 
-def conv3x3_gnq_fits(H: int, W: int, C: int, O: int, min_h: int = 64) -> bool:
+def conv3x3_gnq_fits(H: int, W: int, C: int, O: int, min_h: int = 64,
+                     upsample: bool = False) -> bool:
+    """H, W are the OUTPUT resolution (2x the input when upsample)."""
     if C % 128 or O % 128 or W % 8 or H < min_h or W < min_h:
         return False
-    return _pick_th_gnq(H, W, C, O) is not None
+    if upsample and (W // 2) % 8:
+        return False
+    return _pick_th_gnq(H, W, C, O, upsample=upsample) is not None
 
 
 def _gnq_kernel(x_hbm, w_ref, act_ref, scale_ref, bias_ref, gns_ref, gnb_ref,
                 res_ref, o_ref, s1_ref, s2_ref, win, sems,
-                *, TH, H, W, C, O, n_tiles, has_gn, has_res):
+                *, TH, H, W, C, O, n_tiles, has_gn, has_res, upsample):
     i = pl.program_id(0)
+    # Source-space geometry: with the nearest-2x prologue the DMA reads
+    # the HALF-resolution tensor (TSRC = TH//2 source rows per output
+    # tile; the window still carries a one-row halo on each side).
+    TSRC = TH // 2 if upsample else TH
+    HSRC = H // 2 if upsample else H
+    SR = TSRC + 2  # window rows in source space
 
     def start(slot, step):
         b = step // n_tiles
@@ -309,22 +335,22 @@ def _gnq_kernel(x_hbm, w_ref, act_ref, scale_ref, bias_ref, gns_ref, gnb_ref,
         @pl.when(t == 0)
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(0, TH + 1)],
-                win.at[slot, pl.ds(1, TH + 1)],
+                x_hbm.at[b, pl.ds(0, SR - 1)],
+                win.at[slot, pl.ds(1, SR - 1)],
                 sems.at[slot]).start()
 
         @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(t * TH - 1, TH + 2)],
+                x_hbm.at[b, pl.ds(t * TSRC - 1, SR)],
                 win.at[slot],
                 sems.at[slot]).start()
 
         @pl.when(t == n_tiles - 1)
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(H - TH - 1, TH + 1)],
-                win.at[slot, pl.ds(0, TH + 1)],
+                x_hbm.at[b, pl.ds(HSRC - SR + 1, SR - 1)],
+                win.at[slot, pl.ds(0, SR - 1)],
                 sems.at[slot]).start()
 
     def wait(slot, step):
@@ -334,14 +360,14 @@ def _gnq_kernel(x_hbm, w_ref, act_ref, scale_ref, bias_ref, gns_ref, gnb_ref,
         @pl.when(edge)
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(0, TH + 1)],
-                win.at[slot, pl.ds(0, TH + 1)],
+                x_hbm.at[0, pl.ds(0, SR - 1)],
+                win.at[slot, pl.ds(0, SR - 1)],
                 sems.at[slot]).wait()
 
         @pl.when(jnp.logical_not(edge))
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(0, TH + 2)],
+                x_hbm.at[0, pl.ds(0, SR)],
                 win.at[slot],
                 sems.at[slot]).wait()
 
@@ -356,17 +382,32 @@ def _gnq_kernel(x_hbm, w_ref, act_ref, scale_ref, bias_ref, gns_ref, gnb_ref,
     wait(i % 2, i)
     t = i % n_tiles
 
-    xw = win[i % 2].astype(jnp.float32)  # (TH+2, W, C)
+    xw = win[i % 2].astype(jnp.float32)  # (SR, Wsrc, C)
     if has_gn:
         a = xw * gns_ref[0][None] + gnb_ref[0][None]
         a = a * jax.nn.sigmoid(a)
     else:
         a = xw
-    # H-edge halo rows -> 0 in activation space == conv zero padding.
-    # (Also kills the uninitialized-scratch garbage on edge tiles.)
-    row = t * TH - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, 1, 1), 0)
-    a = jnp.where(jnp.logical_and(row >= 0, row < H), a, 0.0)
+    # Source-edge halo rows -> 0 in activation space == conv zero
+    # padding (after 2x expansion each still maps to the pad rows).
+    # Also kills the uninitialized-scratch garbage on edge tiles.
+    row = t * TSRC - 1 + jax.lax.broadcasted_iota(jnp.int32, (SR, 1, 1), 0)
+    a = jnp.where(jnp.logical_and(row >= 0, row < HSRC), a, 0.0)
     aq = jnp.clip(jnp.round(a / act_ref[0, 0]), -127, 127).astype(jnp.int8)
+
+    if upsample:
+        # nearest-2x in VMEM, on the QUANTIZED half-size window.
+        # Rows (free leading-dim concat): window row j of the upsampled
+        # halo window maps to source row (t*TH-1+j)//2 - (t*TSRC-1)
+        # = (j-1)//2 + 1  ->  indices [0, 1,1, 2,2, ..., TSRC+1].
+        rows = [aq[0:1]]
+        for k in range(1, TSRC + 1):
+            rows += [aq[k:k + 1], aq[k:k + 1]]
+        rows.append(aq[TSRC + 1:TSRC + 2])
+        aq = jnp.concatenate(rows, axis=0)          # (TH+2, W//2, C)
+        # Columns: duplicate every source column (stack+reshape lowers
+        # to a sublane interleave).
+        aq = jnp.stack([aq, aq], axis=2).reshape(TH + 2, W, C)
 
     p = jnp.concatenate(
         [aq[dy:dy + TH].reshape(TH * W, C) for dy in range(3)], axis=1)
@@ -401,7 +442,8 @@ def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
                 gn_shift: Optional[jnp.ndarray], act_scale: jnp.ndarray,
                 wq: jnp.ndarray, out_scale: jnp.ndarray, bias: jnp.ndarray,
                 residual: Optional[jnp.ndarray] = None,
-                out_dtype=jnp.bfloat16, *, interpret: bool = False):
+                out_dtype=jnp.bfloat16, *, upsample: bool = False,
+                interpret: bool = False):
     """Fused GN-apply+SiLU+quantize+conv3x3+dequant(+residual) with
     channel-moment epilogue.
 
@@ -413,10 +455,17 @@ def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
 
     Returns (y, s1, s2): y (B,H,W,O) ``out_dtype`` and the per-channel
     spatial moments s1 = sum_hw y, s2 = sum_hw y^2, both (B,O) f32 —
-    feed them to the next GroupNorm's scale/shift computation."""
+    feed them to the next GroupNorm's scale/shift computation.
+
+    ``upsample=True`` computes conv3x3(nearest2x(x)): x is the
+    HALF-resolution tensor, the output is (B, 2H, 2W, O), and the 2x
+    expansion happens in VMEM on the quantized window — the kernel
+    DMAs a quarter of the bytes and the XLA upsample pass disappears."""
     B, H, W, C = x.shape
+    if upsample:
+        H, W = 2 * H, 2 * W
     O = wq.shape[-1]
-    TH = _pick_th_gnq(H, W, C, O)
+    TH = _pick_th_gnq(H, W, C, O, upsample=upsample)
     n_tiles = H // TH
     has_gn = gn_scale is not None
     has_res = residual is not None
@@ -435,9 +484,12 @@ def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
     res_arg = residual if has_res else jnp.zeros((1, 1), out_dtype)
 
     scale = jnp.broadcast_to(out_scale.astype(jnp.float32), (O,))
+    sr = (TH // 2 if upsample else TH) + 2
+    wsrc = W // 2 if upsample else W
     y, s1, s2 = pl.pallas_call(
         functools.partial(_gnq_kernel, TH=TH, H=H, W=W, C=C, O=O,
-                          n_tiles=n_tiles, has_gn=has_gn, has_res=has_res),
+                          n_tiles=n_tiles, has_gn=has_gn, has_res=has_res,
+                          upsample=upsample),
         grid=(B * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
@@ -464,7 +516,7 @@ def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
             jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2, W, C), x.dtype),
+            pltpu.VMEM((2, sr, wsrc, C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -184,3 +184,30 @@ def test_fused_decode_matches_xla_path():
     mse = float(np.mean((g - w) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 35.0, f"fused decode diverges from XLA path: {psnr:.1f} dB"
+
+
+def test_gnq_upsample_matches_reference():
+    """upsample=True must equal conv3x3(nearest2x(x)) with the same
+    quantize semantics."""
+    from livetalking_tpu.models.diffusion_blocks import upsample_nearest2x
+    rng = np.random.default_rng(5)
+    B, Hs, Ws, C, O = 2, 16, 12, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, Hs, Ws, C)).astype(np.float32),
+                    jnp.bfloat16)
+    act = jnp.asarray(0.012, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, C, O), dtype=np.int8))
+    osc = jnp.asarray(rng.uniform(5e-5, 2e-4, O).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(O).astype(np.float32) * 0.1)
+
+    y, s1, s2 = conv3x3_gnq(x, None, None, act, wq, osc, bias,
+                            upsample=True, interpret=True)
+    yr, s1r, s2r = _gnq_reference(upsample_nearest2x(x), None, None, act,
+                                  wq, osc, bias)
+    assert y.shape == (B, 2 * Hs, 2 * Ws, O)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(yr, np.float32),
+                               atol=2e-2, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               rtol=1e-3, atol=1e-2 * 4 * Hs * Ws)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                               rtol=1e-3, atol=1e-2 * 4 * Hs * Ws)
