@@ -55,6 +55,11 @@ def main() -> dict:
     ap.add_argument("--per-session-feats", action="store_true",
                     help="each session encodes its own features "
                          "(staggered submits; the naive architecture)")
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="rounds in flight (2 = resolve round k while "
+                         "k+1 runs on device; 1 = the old serialized "
+                         "drive that idles the device for the D2H RTT + "
+                         "host scatter between rounds)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -214,17 +219,31 @@ def main() -> dict:
             f = whisper_feats_batched(whisper_params, wav_stack)
             return [f[s] for s in range(N)]
 
+        from collections import deque
+
+        def resolve(futs):
+            nonlocal warm
+            for s, f in enumerate(futs):
+                f.result(timeout=120)
+                if warm >= args.warmup:
+                    counts[s] += B
+            warm += 1
+
         try:
+            inflight: deque = deque()
             feats = encode()
             while not stop.is_set():
-                futs = [sched.submit(i, c)
-                        for i, c in zip(make_idxs(), feats)]
-                feats = encode()  # overlaps with the in-flight round
-                for s, f in enumerate(futs):
-                    f.result(timeout=120)
-                    if warm >= args.warmup:
-                        counts[s] += B
-                warm += 1
+                inflight.append([sched.submit(i, c)
+                                 for i, c in zip(make_idxs(), feats)])
+                feats = encode()  # overlaps with the in-flight rounds
+                # keep `--inflight` rounds queued: the device starts
+                # round k+1 from the scheduler's own double buffer while
+                # the host is still fetching/scattering round k's result
+                # (one round deep, the D2H RTT serializes every round)
+                if len(inflight) >= max(1, args.inflight):
+                    resolve(inflight.popleft())
+            while inflight:
+                resolve(inflight.popleft())
         except Exception as e:  # pragma: no cover
             errors.append(f"round driver: {e}")
 

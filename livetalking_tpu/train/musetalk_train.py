@@ -138,7 +138,8 @@ def forward(unet_params, vae_params, cfg: sd_unet.UNetConfig, pe,
     ctx = (audio + pe).astype(dtype)
     t = jnp.zeros((gt.shape[0],), jnp.float32)
     pred_lat = sd_unet.apply(unet_params, cfg, x, t, ctx)
-    pred01 = sd_vae.decode(vae_p, pred_lat.astype(dtype))  # (B,S,S,3) [0,1]
+    pred01 = sd_vae.decode(vae_p, pred_lat.astype(dtype),
+                           dtype=dtype)  # (B,S,S,3) [0,1]
     return pred_lat, pred01.astype(jnp.float32), gt_lat
 
 
