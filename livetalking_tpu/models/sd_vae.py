@@ -338,14 +338,15 @@ def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
     (ops/pallas_conv ``conv3x3_gnq``): one kernel per conv, GroupNorm
     statistics ride the previous kernel's epilogue, so the between-conv
     elementwise / quantize / stats HBM passes disappear. OPT-IN for
-    now: measured B=16 v5e the fused chain runs 50.2 ms vs 40.5 pure
+    now: measured B=16 v5e the fused chain ran 50.2 ms vs 40.5 pure
     XLA — the fused RESNETS are at or slightly better than XLA parity
     (256px 128ch: 2.96 vs 3.18 ms marginal), but the UPSAMPLER convs
-    lose big (256px 256ch: 12.7 vs 7.1 ms; the kernel re-reads the 4x
+    lose big (256px 256ch: 12.7 vs 7.1 ms; the kernel re-read the 4x
     upsampled bf16 tensor with halo amplification while XLA folds the
-    int8 quantize into the upsample write). Flips on by default if/when
-    the upsampler kernel grows an in-VMEM nearest-2x prologue that
-    DMAs the quarter-size pre-upsample tensor."""
+    int8 quantize into the upsample write). The in-VMEM nearest-2x
+    prologue (DMA the quarter-size pre-upsample tensor, duplicate rows/
+    lanes in VMEM) recovered part of that — full fused decode 46.6 ms —
+    still short of pure XLA, so the gate stays opt-in."""
     z = (z / SCALING_FACTOR).astype(jnp.bfloat16)
     h = conv(params_q["post_quant_conv"], z, padding=0)
     h = conv(params_q["dec_conv_in"], h)
