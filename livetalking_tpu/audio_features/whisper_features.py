@@ -21,7 +21,7 @@ from livetalking_tpu.audio_features.base import BaseFeatureExtractor, clamp_wind
 
 def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
                                 l: int, r: int,
-                                short_window: bool = False):
+                                short_window: bool = False, fps: int = 25):
     """``batched_fn_factory`` for engine.feature_coalescer.FeatureCoalescer:
     factory(k) -> fn((k, n_samples) float32 np) -> (k, B, n_ctx, D) device.
 
@@ -36,7 +36,10 @@ def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
 
     cfg = whisper_cfg or we.TINY
     window_frames = 2 * batch_size + l + r
-    n_samples = window_frames * (16000 // (25 * 2))  # 320-sample chunks
+    # chunk size must match BaseFeatureExtractor (base.py): a session
+    # built at a different --fps pads to a different window length, and
+    # the coalescer worker asserts on the wav shape
+    n_samples = window_frames * (16000 // (fps * 2))
     if short_window:
         mel_samples = ((n_samples + 319) // 320) * 320
         feat_len = mel_samples // 320

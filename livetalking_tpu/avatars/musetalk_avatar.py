@@ -97,12 +97,11 @@ def get_shared_feature_coalescer(model: Dict[str, Any], opt):
         make_batched_encode_factory,
     )
     from livetalking_tpu.engine.feature_coalescer import FeatureCoalescer
-    from livetalking_tpu.engine.scheduler import parse_buckets
-
-    from livetalking_tpu.engine.scheduler import SchedulerConfigError
+    from livetalking_tpu.engine.scheduler import SchedulerConfigError, parse_buckets
 
     with _shared_lock:
         cfg = {"batch_size": opt.batch_size, "l": opt.l, "r": opt.r,
+               "fps": int(getattr(opt, "fps", 25)),
                "whisper_short_window": bool(getattr(
                    opt, "whisper_short_window", False)),
                "buckets": parse_buckets(opt)}
@@ -110,7 +109,7 @@ def get_shared_feature_coalescer(model: Dict[str, Any], opt):
             factory, n_samples = make_batched_encode_factory(
                 model["whisper_params"], model["whisper_cfg"],
                 batch_size=cfg["batch_size"], l=cfg["l"], r=cfg["r"],
-                short_window=cfg["whisper_short_window"])
+                short_window=cfg["whisper_short_window"], fps=cfg["fps"])
             fc = FeatureCoalescer(factory, n_samples,
                                   buckets=cfg["buckets"])
             fc.start()
@@ -139,6 +138,7 @@ def reset_shared_scheduler() -> None:
             _shared["feat_coalescer"].stop()
         _shared["feat_coalescer"] = None
         _shared.pop("config", None)
+        _shared.pop("feat_config", None)
 
 
 def load_model(opt=None) -> Dict[str, Any]:
@@ -375,12 +375,18 @@ class MuseReal(BaseAvatar):
 
         self._scheduler = None
         self._store_offset = 0
+        feat_coalescer = None
         if getattr(opt, "coalesce", False):
             from livetalking_tpu.engine.scheduler import parse_buckets
 
             store, self._scheduler = get_shared_scheduler(
                 model, self.batch_size, self._unet_params, self._vae_params,
                 use_int8, use_unet_int8, buckets=parse_buckets(opt))
+            # validate the feature-coalescer config BEFORE store.add: a
+            # conflicting session must be rejected without leaking its
+            # packed latent cycle into the shared device store (the store
+            # has no remove API)
+            feat_coalescer = get_shared_feature_coalescer(model, opt)
             self._store_offset, _ = store.add(
                 avatar["avatar_id"], avatar["latent_cycle_host"])
         else:
@@ -404,12 +410,10 @@ class MuseReal(BaseAvatar):
                 logger.warning(
                     "device_paste_back: crop bucket exceeds frame - host path")
 
-        coalescer = (get_shared_feature_coalescer(model, opt)
-                     if self._scheduler is not None else None)
         self.asr = WhisperFeatures(
             opt, self,
             whisper_params=model["whisper_params"], whisper_cfg=model["whisper_cfg"],
-            coalescer=coalescer,
+            coalescer=feat_coalescer,
         )
         self.asr.warm_up()
 

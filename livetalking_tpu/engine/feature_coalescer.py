@@ -51,12 +51,19 @@ class FeatureCoalescer:
 
     def submit(self, wav: np.ndarray) -> Future:
         assert wav.shape == (self.window_samples,), wav.shape
+        if self._quit.is_set():
+            # a submit racing stop() would enqueue a Future no worker
+            # ever resolves (the stop-side drain runs only once)
+            raise RuntimeError("feature coalescer stopped")
         fut: Future = Future()
         self._queue.put((np.asarray(wav, np.float32), fut))
         return fut
 
-    def encode(self, wav: np.ndarray):
-        return self.submit(wav).result()
+    def encode(self, wav: np.ndarray, timeout: float = 120.0):
+        """Bounded wait: a worker wedged in a remote compile (a routine
+        tunnel failure mode) must surface as an error in the session's
+        feature thread, not a silent permanent hang."""
+        return self.submit(wav).result(timeout=timeout)
 
     def start(self) -> None:
         if self._thread is not None:

@@ -180,10 +180,12 @@ def quantize_conv(p: Params) -> Params:
     """Per-output-channel symmetric int8 weight quantization.
 
     Pure jnp (device-native): quantizing device-resident params never
-    round-trips them to the host — wrap a whole-tree quantize
-    (sd_unet.quantize_unet / sd_vae.quantize_decoder) in ``jax.jit`` to
-    fuse it into ONE device program (the host-numpy version pulled the
-    full bf16 weight tree D2H, minutes behind a remote device link)."""
+    round-trips them to the host (the old host-numpy version pulled the
+    full bf16 weight tree D2H, minutes behind a remote device link).
+    Call whole-tree quantizes (sd_unet.quantize_unet /
+    sd_vae.quantize_decoder) EAGERLY: per-conv ops hit cached kernels,
+    whereas ``jax.jit`` of the whole tree builds one huge program that
+    can hang a remote compiler (see CLAUDE.md)."""
     w = jnp.asarray(p["w"], jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
     wq = jnp.clip(jnp.round(w / scale[None, None, None, :]),

@@ -14,6 +14,7 @@ B frames come down.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict
 
@@ -47,7 +48,12 @@ def make_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, ctx_len: int = 
     params must then be the quantize_decoder / quantize_unet outputs
     (ideally calibrated)."""
     pe = jnp.asarray(positional_encoding_table(ctx_len, unet_cfg.cross_dim))
-    decode = sd_vae.decode_int8 if vae_int8 else sd_vae.decode
+    if vae_int8:
+        decode = sd_vae.decode_int8
+    else:
+        # thread the step dtype through: decode's own default is bf16,
+        # which would silently downcast a dtype=float32 run
+        decode = functools.partial(sd_vae.decode, dtype=dtype)
     unet_apply = sd_unet.apply_int8 if unet_int8 else sd_unet.apply
 
     @jax.jit
@@ -91,7 +97,7 @@ def make_sharded_infer_fn(unet_cfg: sd_unet.UNetConfig, batch_size: int, mesh,
         ctx = (whisper + pe).astype(dtype)
         t = jnp.zeros((whisper.shape[0],), jnp.float32)
         pred = sd_unet.apply(unet_params, unet_cfg, lat, t, ctx)
-        img = sd_vae.decode(vae_params, pred.astype(dtype))
+        img = sd_vae.decode(vae_params, pred.astype(dtype), dtype=dtype)
         u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
         return u8[..., ::-1]
 

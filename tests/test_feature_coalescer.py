@@ -69,6 +69,42 @@ def test_coalescer_single_request_uses_small_bucket():
         fc.stop()
 
 
+def test_coalescer_submit_after_stop_raises():
+    """A submit racing stop() must error immediately instead of
+    enqueueing a Future the dead worker never resolves (the session's
+    feature thread would hang forever)."""
+    fc = FeatureCoalescer(lambda k: (lambda wavs: wavs),
+                          window_samples=2, buckets=(1,))
+    fc.start()
+    fc.stop()
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        fc.submit(np.zeros(2, np.float32))
+
+
+def test_batched_whisper_factory_fps_matches_extractor():
+    """The coalescer window length must track --fps: a session built at
+    a non-default fps pads to chunk = 16000/(fps*2) samples per frame,
+    and a factory hardcoded to 25 fps would assert on every submit."""
+    from types import SimpleNamespace
+
+    from livetalking_tpu.audio_features.whisper_features import (
+        WhisperFeatures,
+        make_batched_encode_factory,
+    )
+    from livetalking_tpu.models import whisper_encoder as we
+
+    cfg = we.WhisperConfig(num_layers=1, d_model=64, num_heads=2, ffn=128)
+    params = we.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, l, r, fps = 4, 10, 10, 50
+    opt = SimpleNamespace(fps=fps, batch_size=B, l=l, r=r)
+    wf = WhisperFeatures(opt, None, whisper_params=params, whisper_cfg=cfg)
+    _factory, n_samples = make_batched_encode_factory(
+        params, cfg, batch_size=B, l=l, r=r, fps=fps)
+    assert n_samples == wf._n_samples
+
+
 def test_batched_whisper_factory_matches_solo(rng):
     """Rows of the batched encode equal the per-session program output —
     sessions see identical features whether or not they coalesce."""

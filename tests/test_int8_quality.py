@@ -56,7 +56,8 @@ def test_unet_vae_int8_end_to_end_psnr_gate():
     vq = sd_vae.calibrate_decoder(vp, vq, lat_f)
     lat_q = sd_unet.apply_int8(uq, cfg, x, t, ctx)
 
-    img_f = np.asarray(sd_vae.decode(vp, lat_f.astype(jnp.float32)))
+    img_f = np.asarray(sd_vae.decode(vp, lat_f.astype(jnp.float32),
+                                     dtype=jnp.float32))
     img_q = np.asarray(sd_vae.decode_int8(vq, lat_q.astype(jnp.float32)))
     psnr = _psnr(img_f, img_q)
     assert psnr >= E2E_PSNR_BAR_DB, f"end-to-end int8 PSNR {psnr:.1f} dB"
