@@ -35,8 +35,11 @@ def json_error(msg: str, code: int = -1) -> web.Response:
     )
 
 
-def _get_session(sessionid: str):
-    return session_manager.get_session(sessionid)
+def _get_session(sessionid):
+    # sessions are keyed by string; reference clients send the sessionid
+    # back as a JSON number (reference web/client.js posts the integer it
+    # got from /offer), so coerce before the lookup
+    return session_manager.get_session(str(sessionid))
 
 
 async def human(request: web.Request) -> web.Response:

@@ -127,6 +127,18 @@ def test_interrupt_talk(server, sessionid):
     assert not r["data"]
 
 
+def test_numeric_sessionid_coerced_to_string_key(server, sessionid):
+    """Reference clients send the sessionid back as a JSON number
+    (reference web/client.js posts the integer it got from /offer);
+    sessions are keyed by string, so routes must coerce before lookup."""
+    session_manager.sessions["41"] = session_manager.get_session(sessionid)
+    try:
+        r = requests.post(server + "/is_speaking", json={"sessionid": 41}).json()
+        assert r["code"] == 0
+    finally:
+        session_manager.sessions.pop("41", None)
+
+
 def test_unknown_session_error_envelope(server):
     r = requests.post(server + "/human", json={
         "sessionid": "nope", "type": "echo", "text": "x",
