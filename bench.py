@@ -263,6 +263,21 @@ def _forward_subprocess(argv, timeout, label):
         print(json.dumps({"metric": label, "error": str(e)[:300]}), flush=True)
 
 
+def _device_reachable(timeout: float = 240.0) -> bool:
+    """Preflight: the axon TPU tunnel can go fully down (trivial ops hang
+    forever at 0% CPU — see CLAUDE.md). Probe with a tiny matmul in a
+    subprocess; only a TIMEOUT means unreachable (a nonzero rc could be an
+    env quirk, so it does not skip the real benches)."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))")
+    try:
+        subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                       timeout=timeout)
+        return True
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     me = os.path.abspath(__file__)
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
@@ -270,6 +285,18 @@ def main() -> None:
          "musetalk": bench_musetalk,
          "ultralight": bench_ultralight,
          "ernerf": bench_ernerf}[sys.argv[2]]()
+        return
+
+    if not _device_reachable():
+        for label in ("wav2lip256_inferfps_per_chip",
+                      "musetalk_int8_inferfps_per_chip",
+                      "ultralight_inferfps_per_chip",
+                      "ernerf128_renderfps_per_chip",
+                      "whisper_tiny_stt_latency",
+                      "musetalk_serving_finalfps_per_session"):
+            print(json.dumps({"metric": label, "error":
+                              "device unreachable: trivial device op hung "
+                              ">240s (TPU tunnel down)"}), flush=True)
         return
 
     # headline FIRST — but in a subprocess like every other metric: the

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from livetalking_tpu.audio_features.base import BaseFeatureExtractor, clamp_window_indices
+from livetalking_tpu.utils.logger import logger
 
 
 def make_batched_encode_factory(whisper_params, whisper_cfg, batch_size: int,
@@ -152,7 +153,18 @@ class WhisperFeatures(BaseFeatureExtractor):
                 # cross-session batched encode: one device program per
                 # tick for all speaking sessions (the per-session encode
                 # staggers scheduler submissions — see SERVING_r02.json)
-                feats = self._coalescer.encode(audio)
+                try:
+                    feats = self._coalescer.encode(audio)
+                except Exception as e:
+                    # a wedged/stopped coalescer must not kill the render
+                    # loop (reference degradation model: the avatar idles
+                    # instead of stalling, cf. silence synthesis in
+                    # reference basereal.py / base_asr.py) — emit silence
+                    # features for this tick and keep the session alive
+                    logger.warning(
+                        "feature coalescer encode failed (%s): "
+                        "silence features this tick", e)
+                    feats = self._zero
             else:
                 feats = self._fn(audio)
 

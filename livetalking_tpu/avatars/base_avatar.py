@@ -358,18 +358,35 @@ class BaseAvatar:
                 if current_speaking and not last_speaking and self.custom_index.get(1) is not None:
                     index = 0  # silence->speech with a custom idle video: restart cycle
                 t = time.perf_counter()
-                pred = self.inference_batch(index, audiofeat_batch)
-                counttime += time.perf_counter() - t
-                count += self.batch_size
-                if count >= 100:
-                    logger.info(f"------actual avg infer fps:{count / counttime:.4f}")
-                    count = 0
-                    counttime = 0.0
-                for i in range(len(pred)):
-                    self.res_frame_queue.put(
-                        (pred[i], audio_frames[i * 2 : i * 2 + 2], mirror_index(length, index))
-                    )
-                    index += 1
+                try:
+                    pred = self.inference_batch(index, audiofeat_batch)
+                except Exception:
+                    # a failed device step (wedged scheduler, dead tunnel,
+                    # bounded-wait timeout) must not kill the inference
+                    # thread: degrade this batch to idle frames and keep
+                    # the session alive (reference degradation model, cf.
+                    # its paste-back skip / silence synthesis)
+                    logger.exception(
+                        "inference_batch failed: idle frames for this batch")
+                    pred = None
+                if pred is None:
+                    for i in range(self.batch_size):
+                        idx = mirror_index(length, index)
+                        self.res_frame_queue.put(
+                            (None, audio_frames[i * 2 : i * 2 + 2], idx))
+                        index += 1
+                else:
+                    counttime += time.perf_counter() - t
+                    count += self.batch_size
+                    if count >= 100:
+                        logger.info(f"------actual avg infer fps:{count / counttime:.4f}")
+                        count = 0
+                        counttime = 0.0
+                    for i in range(len(pred)):
+                        self.res_frame_queue.put(
+                            (pred[i], audio_frames[i * 2 : i * 2 + 2], mirror_index(length, index))
+                        )
+                        index += 1
 
             if current_speaking != last_speaking:
                 logger.info(

@@ -120,12 +120,20 @@ class BatchScheduler:
     def submit(self, global_idxs: np.ndarray, mel) -> Future:
         """Queue one session batch (B indices into the store + features);
         returns a Future resolving to (B, S, S, 3) uint8 frames."""
+        if self._quit.is_set():
+            # a submit racing stop() would enqueue a Future no worker
+            # ever resolves (the stop-side drain runs only once)
+            raise RuntimeError("batch scheduler stopped")
         fut: Future = Future()
         self._queue.put(_Request(np.asarray(global_idxs, np.int32), mel, fut))
         return fut
 
-    def infer(self, global_idxs: np.ndarray, mel) -> np.ndarray:
-        return self.submit(global_idxs, mel).result()
+    def infer(self, global_idxs: np.ndarray, mel,
+              timeout: float = 120.0) -> np.ndarray:
+        """Bounded wait: a worker wedged in a remote compile (a routine
+        tunnel failure mode) must surface as an error in the session's
+        inference thread, not a silent permanent hang."""
+        return self.submit(global_idxs, mel).result(timeout=timeout)
 
     # -- worker -----------------------------------------------------------
     def start(self) -> None:
@@ -140,6 +148,15 @@ class BatchScheduler:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail any request still queued so no session blocks forever on
+        # a Future the dead worker will never resolve
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("batch scheduler stopped"))
 
     def _drain(self, timeout: float = 0.5) -> List[_Request]:
         """Block for the first request, then greedily take whatever else is

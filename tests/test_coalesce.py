@@ -94,7 +94,7 @@ def test_musetalk_sessions_coalesce(tmp_path, monkeypatch):
     from livetalking_tpu.models import sd_vae
     from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
 
-    def cheap_decode(params, z):
+    def cheap_decode(params, z, **kw):  # same signature incl. dtype=
         img = jnp.repeat(jnp.repeat(z[..., :3], 8, axis=1), 8, axis=2)
         return jnp.clip(img.astype(jnp.float32) + 0.5, 0.0, 1.0)
 

@@ -83,6 +83,35 @@ def test_coalescer_submit_after_stop_raises():
         fc.submit(np.zeros(2, np.float32))
 
 
+def test_run_step_survives_coalescer_failure():
+    """A wedged/stopped coalescer (encode raises — e.g. bounded-wait
+    timeout behind a dead TPU tunnel) must NOT kill the session render
+    loop: run_step degrades to silence features for the tick (reference
+    degradation model) instead of propagating."""
+    from types import SimpleNamespace
+
+    from livetalking_tpu.audio_features.whisper_features import WhisperFeatures
+    from livetalking_tpu.models import whisper_encoder as we
+
+    class WedgedCoalescer:
+        def encode(self, wav):
+            raise RuntimeError("worker wedged")
+
+    cfg = we.WhisperConfig(num_layers=1, d_model=64, num_heads=2, ffn=128)
+    params = we.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, l, r = 4, 2, 2
+    opt = SimpleNamespace(fps=25, batch_size=B, l=l, r=r)
+    wf = WhisperFeatures(opt, None, whisper_params=params, whisper_cfg=cfg,
+                         coalescer=WedgedCoalescer())
+    wf.warm_up()
+    for _ in range(2 * B):
+        wf.put_audio_frame(np.ones(wf.chunk, np.float32) * 0.1)
+    wf.run_step()  # must not raise
+    feats = np.asarray(wf.get_next_feat(timeout=1))
+    assert feats.shape[0] == B
+    np.testing.assert_array_equal(feats, np.zeros_like(feats))
+
+
 def test_batched_whisper_factory_fps_matches_extractor():
     """The coalescer window length must track --fps: a session built at
     a non-default fps pads to chunk = 16000/(fps*2) samples per frame,

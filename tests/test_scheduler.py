@@ -76,40 +76,70 @@ def test_single_request_roundtrip(sched, store):
     np.testing.assert_array_equal(got, _expected(store, None, idxs, mel))
 
 
-def test_concurrent_requests_coalesce_and_scatter(sched, store):
+def test_concurrent_requests_coalesce_and_scatter(store):
+    """Preload the queue BEFORE the first start() so all 4 requests
+    deterministically coalesce into one super-batch (submit-after-stop
+    raises by contract, so the old stop/submit/start trick is illegal)."""
+    params = {"gain": jnp.asarray(1.0)}
+    sched = BatchScheduler(params, store, tiny_step_factory(params), B,
+                           buckets=(1, 2, 4))
     rng = np.random.default_rng(2)
     n_sessions = 4
     payloads = [
         (np.array([i, i + 3], np.int32), rng.random((B, 3, 4)).astype(np.float32))
         for i in range(n_sessions)
     ]
-    results = [None] * n_sessions
-
-    # stop the worker, preload the queue, restart: forces one coalesced batch
-    sched.stop()
     futs = [sched.submit(i, m) for i, m in payloads]
     sched.start()
-    for i, f in enumerate(futs):
-        results[i] = f.result(timeout=30)
+    try:
+        results = [f.result(timeout=30) for f in futs]
+        assert sched.batches_run == 1, "4 queued requests should run as one batch"
+        for (idxs, mel), got in zip(payloads, results):
+            np.testing.assert_array_equal(got, _expected(store, None, idxs, mel))
+    finally:
+        sched.stop()
 
-    batches_before = sched.batches_run
-    assert batches_before == 1, "4 queued requests should run as one batch"
-    for (idxs, mel), got in zip(payloads, results):
-        np.testing.assert_array_equal(got, _expected(store, None, idxs, mel))
 
+def test_padding_bucket(store):
+    """3 requests -> bucket 4 with padding; results still correct.
 
-def test_padding_bucket(sched, store):
-    """3 requests -> bucket 4 with padding; results still correct."""
+    Submits BEFORE the first start() so all 3 requests deterministically
+    coalesce into one padded super-batch (submit-after-stop raises by
+    contract, so the old stop/submit/start trick is no longer legal)."""
+    params = {"gain": jnp.asarray(1.0)}
+    sched = BatchScheduler(params, store, tiny_step_factory(params), B,
+                           buckets=(1, 2, 4))
     rng = np.random.default_rng(3)
     payloads = [
         (np.array([i, i + 1], np.int32), rng.random((B, 3, 4)).astype(np.float32))
         for i in range(3)
     ]
-    sched.stop()
     futs = [sched.submit(i, m) for i, m in payloads]
     sched.start()
-    for (idxs, mel), f in zip(payloads, futs):
-        np.testing.assert_array_equal(f.result(timeout=30), _expected(store, None, idxs, mel))
+    try:
+        for (idxs, mel), f in zip(payloads, futs):
+            np.testing.assert_array_equal(
+                f.result(timeout=30), _expected(store, None, idxs, mel))
+    finally:
+        sched.stop()
+
+
+def test_submit_after_stop_raises_and_stop_drains(store):
+    """submit() racing stop() must error immediately, and stop() must
+    fail any still-queued Future — a session's inference thread must
+    never block forever on a dead worker."""
+    params = {"gain": jnp.asarray(1.0)}
+    sched = BatchScheduler(params, store, tiny_step_factory(params), B,
+                           buckets=(1,))
+    # queued before any worker ever runs: stop() must resolve it
+    fut = sched.submit(np.array([0, 1], np.int32),
+                       np.zeros((B, 3, 4), np.float32))
+    sched.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)
+    with pytest.raises(RuntimeError, match="stopped"):
+        sched.submit(np.array([0, 1], np.int32),
+                     np.zeros((B, 3, 4), np.float32))
 
 
 def test_error_propagates_to_future(store):
