@@ -282,21 +282,45 @@ def _fused_chain_fits(params_q: Params, h_px: int, min_h: int = 64) -> bool:
 
 def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                       interpret: bool = False,
-                      from_block: Optional[int] = None) -> jnp.ndarray:
+                      from_block: Optional[int] = None,
+                      skip_up: Optional[set] = None,
+                      restart_block: Optional[int] = None) -> jnp.ndarray:
     """Up-block chain on the fused pallas kernel. ``h`` is the mid-block
     output; see ``decode_int8`` for the gate.
 
-    ``from_block``: first up-block whose UPSAMPLER conv enters the fused
-    chain (earlier blocks run the XLA path; an upsampler input carries
-    no norm, so it starts the moment chain without a stats pass).
-    Default from $LT_FUSED_VAE_FROM, else 0 (everything eligible)."""
+    Routing knobs (mixed pallas/XLA placement — the per-conv A/B showed
+    the fused RESNETS beat XLA while the big upsampler convs lose, so
+    the profitable placement is a sub-chain, not all-or-nothing):
+
+    - ``from_block`` ($LT_FUSED_VAE_FROM, default 0): first up-block
+      whose UPSAMPLER conv starts the moment chain (an upsampler input
+      carries no norm, so the chain starts without a stats pass).
+    - ``skip_up`` ($LT_FUSED_VAE_SKIP_UP, comma list): block indices
+      whose upsampler conv stays on XLA. Hitting one DROPS the chain
+      (the trailing moments are discarded — they were free epilogue
+      output, so stopping costs nothing).
+    - ``restart_block`` ($LT_FUSED_VAE_RESTART, default off): when the
+      chain is inactive at the start of block >= this index, restart it
+      with ONE explicit XLA stats pass over ``h`` (a single read) so the
+      block's resnets run fused."""
     from livetalking_tpu.ops.pallas_conv import conv3x3_gnq
 
     if from_block is None:
         from_block = int(os.environ.get("LT_FUSED_VAE_FROM", "0"))
+    if skip_up is None:
+        raw = os.environ.get("LT_FUSED_VAE_SKIP_UP", "")
+        skip_up = {int(t) for t in raw.split(",") if t.strip()}
+    if restart_block is None:
+        raw = os.environ.get("LT_FUSED_VAE_RESTART", "")
+        restart_block = int(raw) if raw.strip() else None
     blocks = params_q["dec_up"]
     s1 = s2 = None
     for bi, blk in enumerate(blocks):
+        if (s1 is None and restart_block is not None
+                and bi >= restart_block):
+            hf = h.astype(jnp.float32)
+            s1 = hf.sum(axis=(1, 2))
+            s2 = (hf * hf).sum(axis=(1, 2))
         if s1 is None:                      # XLA until the chain starts
             for rp in blk["resnets"]:
                 h = _resnet_block_q(rp, h)
@@ -305,6 +329,10 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                 h, s1, s2 = _fused_resnet_q(rp, h, s1, s2,
                                             interpret=interpret)
         if "up" in blk:
+            if bi in skip_up:
+                h = _conv_q(blk["up"], upsample_nearest2x(h))
+                s1 = s2 = None              # chain drops (free)
+                continue
             if s1 is None and bi < from_block:
                 h = _conv_q(blk["up"], upsample_nearest2x(h))
                 continue
