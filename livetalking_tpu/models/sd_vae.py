@@ -280,11 +280,30 @@ def _fused_chain_fits(params_q: Params, h_px: int, min_h: int = 64) -> bool:
     return True
 
 
+def _block_resnets_fit(blk: Params, h_shape, min_h: int = 64) -> bool:
+    """True when every resnet conv in this up-block maps onto the fused
+    kernel at ``h``'s resolution — the per-block guard for the restart
+    path (the default chain start already skips block-0 resnets because
+    they run below the kernel's minimum resolution; a restart must not
+    route them back in unvalidated)."""
+    from livetalking_tpu.ops.pallas_conv import conv3x3_gnq_fits
+
+    _, H, W, cin = h_shape
+    for rp in blk["resnets"]:
+        cout = rp["conv1"]["wq"].shape[-1]
+        if not (conv3x3_gnq_fits(H, W, cin, cout, min_h)
+                and conv3x3_gnq_fits(H, W, cout, cout, min_h)):
+            return False
+        cin = cout
+    return True
+
+
 def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                       interpret: bool = False,
                       from_block: Optional[int] = None,
                       skip_up: Optional[set] = None,
-                      restart_block: Optional[int] = None) -> jnp.ndarray:
+                      restart_block: Optional[int] = None,
+                      min_h: int = 64) -> jnp.ndarray:
     """Up-block chain on the fused pallas kernel. ``h`` is the mid-block
     output; see ``decode_int8`` for the gate.
 
@@ -292,17 +311,21 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
     the fused RESNETS beat XLA while the big upsampler convs lose, so
     the profitable placement is a sub-chain, not all-or-nothing):
 
-    - ``from_block`` ($LT_FUSED_VAE_FROM, default 0): first up-block
-      whose UPSAMPLER conv starts the moment chain (an upsampler input
-      carries no norm, so the chain starts without a stats pass).
+    - ``from_block`` ($LT_FUSED_VAE_FROM, default 0): up-blocks with
+      index < from_block keep their UPSAMPLER conv on XLA,
+      unconditionally — hitting one drops the chain exactly like
+      ``skip_up`` (so from_block composes with ``restart_block``; a
+      restarted chain does NOT override it).
     - ``skip_up`` ($LT_FUSED_VAE_SKIP_UP, comma list): block indices
       whose upsampler conv stays on XLA. Hitting one DROPS the chain
       (the trailing moments are discarded — they were free epilogue
       output, so stopping costs nothing).
     - ``restart_block`` ($LT_FUSED_VAE_RESTART, default off): when the
-      chain is inactive at the start of block >= this index, restart it
-      with ONE explicit XLA stats pass over ``h`` (a single read) so the
-      block's resnets run fused."""
+      chain is inactive at the start of block >= this index AND the
+      block's resnet convs all pass ``conv3x3_gnq_fits`` at the current
+      resolution, restart it with ONE explicit XLA stats pass over
+      ``h`` (a single read) so the block's resnets run fused; unfit
+      blocks fall through to the XLA ``_resnet_block_q`` path."""
     from livetalking_tpu.ops.pallas_conv import conv3x3_gnq
 
     if from_block is None:
@@ -317,7 +340,8 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
     s1 = s2 = None
     for bi, blk in enumerate(blocks):
         if (s1 is None and restart_block is not None
-                and bi >= restart_block):
+                and bi >= restart_block
+                and _block_resnets_fit(blk, h.shape, min_h=min_h)):
             hf = h.astype(jnp.float32)
             s1 = hf.sum(axis=(1, 2))
             s2 = (hf * hf).sum(axis=(1, 2))
@@ -329,12 +353,9 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                 h, s1, s2 = _fused_resnet_q(rp, h, s1, s2,
                                             interpret=interpret)
         if "up" in blk:
-            if bi in skip_up:
+            if bi in skip_up or bi < from_block:
                 h = _conv_q(blk["up"], upsample_nearest2x(h))
                 s1 = s2 = None              # chain drops (free)
-                continue
-            if s1 is None and bi < from_block:
-                h = _conv_q(blk["up"], upsample_nearest2x(h))
                 continue
             up = blk["up"]
             # nearest-2x rides the kernel prologue: DMA the small tensor

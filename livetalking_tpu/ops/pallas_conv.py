@@ -168,6 +168,10 @@ def _conv3x3_core(xq, w2, scale, bias, residual, acc_dtype, out_dtype,
     O = w2.shape[-1] // 3
     TH = _pick_th(H, W, C, O, 4, xq.dtype.itemsize,
                   has_res=residual is not None)
+    if TH is None:
+        raise ValueError(
+            f"conv3x3: no feasible row tile for shape H={H} W={W} C={C} "
+            f"O={O}; gate call sites with conv3x3_fits")
     n_tiles = H // TH
     Wp = W + 8
     xpad = jnp.pad(xq, ((0, 0), (1, 1), (1, 7), (0, 0)))
@@ -466,6 +470,11 @@ def conv3x3_gnq(x: jnp.ndarray, gn_scale: Optional[jnp.ndarray],
         H, W = 2 * H, 2 * W
     O = wq.shape[-1]
     TH = _pick_th_gnq(H, W, C, O, upsample=upsample)
+    if TH is None:
+        raise ValueError(
+            f"conv3x3_gnq: no feasible row tile for output shape H={H} "
+            f"W={W} C={C} O={O} upsample={upsample}; gate call sites "
+            f"with conv3x3_gnq_fits")
     n_tiles = H // TH
     has_gn = gn_scale is not None
     has_res = residual is not None

@@ -186,6 +186,70 @@ def test_fused_decode_matches_xla_path():
     assert psnr > 35.0, f"fused decode diverges from XLA path: {psnr:.1f} dB"
 
 
+@pytest.mark.parametrize("knobs", [
+    # chain drop at block-0 upsampler, restart into block 1's resnets
+    dict(skip_up={0}, restart_block=1, from_block=0),
+    # from_block=2 keeps upsamplers 0-1 on XLA even with a restart
+    # active (the restarted chain must NOT override from_block)
+    dict(skip_up=set(), restart_block=1, from_block=2),
+    # every upsampler on XLA; restart guard alone routes fit resnets
+    dict(skip_up={0, 1, 2}, restart_block=0, from_block=0),
+])
+def test_fused_decode_routing_knobs(knobs):
+    """skip_up/restart_block/from_block combos (the chain-drop-then-
+    restart transitions) must all reproduce the pure-XLA int8 decode."""
+    import livetalking_tpu.models.sd_vae as sv
+    from livetalking_tpu.avatars.musetalk_avatar import _with_dummy_scales
+    from livetalking_tpu.utils.jaxinit import jit_init
+
+    vp = jit_init(sv.init_params, jax.random.PRNGKey(1), jnp.bfloat16)
+    vq = _with_dummy_scales(sv.quantize_decoder(vp))
+    rng = np.random.default_rng(6)
+    z = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+                    * sv.SCALING_FACTOR)
+    vq = sv.calibrate_decoder(vp, vq, z)
+
+    zz = (z / sv.SCALING_FACTOR).astype(jnp.bfloat16)
+    h = sv.conv(vq["post_quant_conv"], zz, padding=0)
+    h = sv.conv(vq["dec_conv_in"], h)
+    h = sv.resnet_block(vq["dec_mid"]["r0"], h)
+    h = sv.spatial_attention(vq["dec_mid"]["attn"], h)
+    h = sv.resnet_block(vq["dec_mid"]["r1"], h)
+
+    got = sv._decode_int8_fused(vq, h, interpret=True, min_h=16, **knobs)
+
+    hx = h
+    for blk in vq["dec_up"]:
+        for rp in blk["resnets"]:
+            hx = sv._resnet_block_q(rp, hx)
+        if "up" in blk:
+            hx = sv._conv_q(blk["up"], sv.upsample_nearest2x(hx))
+    hx = sv._conv_q(vq["dec_conv_out"],
+                    sv.silu(sv.group_norm(vq["dec_norm_out"], hx)))
+    want = jnp.clip(hx.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    mse = float(np.mean((g - w) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, f"knobs {knobs}: fused decode diverges: {psnr:.1f} dB"
+
+
+def test_restart_skips_unfit_blocks():
+    """restart_block=0 must NOT route block-0 resnets (below min_h at
+    the mid-block resolution) into the fused kernel — the per-block fit
+    guard falls through to the XLA path instead of crashing/silently
+    running an unvalidated shape."""
+    import livetalking_tpu.models.sd_vae as sv
+
+    blk = {"resnets": [{"conv1": {"wq": np.zeros((3, 3, 512, 512),
+                                                 np.int8)}}]}
+    # 8x8 is below any min_h the production path uses
+    assert not sv._block_resnets_fit(blk, (1, 8, 8, 512), min_h=64)
+    assert not sv._block_resnets_fit(blk, (1, 8, 8, 512), min_h=16)
+    assert sv._block_resnets_fit(blk, (1, 64, 64, 512), min_h=64)
+
+
 def test_gnq_upsample_matches_reference():
     """upsample=True must equal conv3x3(nearest2x(x)) with the same
     quantize semantics."""
