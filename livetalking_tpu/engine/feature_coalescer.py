@@ -68,6 +68,8 @@ class FeatureCoalescer:
     def start(self) -> None:
         if self._thread is not None:
             return
+        from livetalking_tpu.utils.lifecycle import register
+        register(self)  # stop before interpreter teardown (XLA exit crash)
         self._quit.clear()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="feature-coalescer")

@@ -21,6 +21,8 @@ ones, and the host pays one D2H frame transfer instead of N.
 from __future__ import annotations
 
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from queue import Empty, Queue
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -50,10 +52,21 @@ class AvatarStore:
         self._host_parts: List[np.ndarray] = []
         self._total = 0
         self._device_buffer = None
+        # auxiliary per-item device planes, indexed by the SAME global
+        # index as the main cycle (e.g. the device paste-back's full
+        # frames / origins / scalars / masks)
+        self._aux_parts: Dict[str, List[np.ndarray]] = {}
+        self._aux_dev: Dict[str, object] = {}
         self._lock = threading.Lock()
 
-    def add(self, avatar_id: str, cycle: np.ndarray) -> Tuple[int, int]:
-        """Register an (N, *item_shape) cycle; returns (offset, length)."""
+    def add(self, avatar_id: str, cycle: np.ndarray,
+            aux: Optional[Dict[str, np.ndarray]] = None) -> Tuple[int, int]:
+        """Register an (N, *item_shape) cycle; returns (offset, length).
+
+        ``aux`` maps plane name -> (N, ...) array packed alongside the
+        cycle (same offsets, so one global index gathers all planes).
+        Every add after the first must supply the same plane set with the
+        same trailing shapes."""
         import jax.numpy as jnp
 
         with self._lock:
@@ -61,11 +74,31 @@ class AvatarStore:
                 return self._cycles[avatar_id]
             assert cycle.dtype == self.dtype and cycle.shape[1:] == self.item_shape, (
                 cycle.dtype, cycle.shape, self.dtype, self.item_shape)
+            aux = aux or {}
+            if self._host_parts and set(aux) != set(self._aux_parts):
+                raise ValueError(
+                    f"store aux planes {sorted(aux)} do not match the "
+                    f"registered set {sorted(self._aux_parts)}")
+            for k, v in aux.items():
+                v = np.asarray(v)
+                if v.shape[0] != cycle.shape[0]:
+                    raise ValueError(
+                        f"aux plane {k!r} length {v.shape[0]} != cycle "
+                        f"length {cycle.shape[0]}")
+                prev = self._aux_parts.get(k)
+                if prev and prev[0].shape[1:] != v.shape[1:]:
+                    raise ValueError(
+                        f"aux plane {k!r} item shape {v.shape[1:]} != "
+                        f"registered {prev[0].shape[1:]}")
             offset = self._total
             self._host_parts.append(cycle)
             self._total += cycle.shape[0]
             self._cycles[avatar_id] = (offset, cycle.shape[0])
             self._device_buffer = jnp.asarray(np.concatenate(self._host_parts, axis=0))
+            for k, v in aux.items():
+                self._aux_parts.setdefault(k, []).append(np.asarray(v))
+                self._aux_dev[k] = jnp.asarray(
+                    np.concatenate(self._aux_parts[k], axis=0))
             return offset, cycle.shape[0]
 
     def lookup(self, avatar_id: str) -> Tuple[int, int]:
@@ -75,14 +108,20 @@ class AvatarStore:
     def buffer(self):
         return self._device_buffer
 
+    @property
+    def aux(self) -> Dict[str, object]:
+        """Device-resident aux planes (same global indexing as buffer)."""
+        return self._aux_dev
+
 
 class _Request:
-    __slots__ = ("idxs", "mel", "future")
+    __slots__ = ("idxs", "mel", "future", "t_submit")
 
     def __init__(self, idxs: np.ndarray, mel, future: Future):
         self.idxs = idxs
         self.mel = mel
         self.future = future
+        self.t_submit = time.monotonic()
 
 
 class BatchScheduler:
@@ -115,6 +154,11 @@ class BatchScheduler:
         self.requests_run = 0
         self.batches_run = 0
         self.frames_run = 0
+        # per-request submit->resolve wall time and per-batch coalesced
+        # size, bounded rolling windows (admin metrics + serving bench
+        # latency percentiles)
+        self.latency_s: "deque[float]" = deque(maxlen=4096)
+        self.batch_sizes: "deque[int]" = deque(maxlen=4096)
 
     # -- session API ------------------------------------------------------
     def submit(self, global_idxs: np.ndarray, mel) -> Future:
@@ -139,6 +183,8 @@ class BatchScheduler:
     def start(self) -> None:
         if self._thread is not None:
             return
+        from livetalking_tpu.utils.lifecycle import register
+        register(self)  # stop before interpreter teardown (XLA exit crash)
         self._quit.clear()
         self._thread = threading.Thread(target=self._run, daemon=True, name="batch-scheduler")
         self._thread.start()
@@ -199,8 +245,11 @@ class BatchScheduler:
         """Block on D2H and scatter frames to per-session futures."""
         B = self.batch_size
         frames = np.asarray(dev_frames)
+        now = time.monotonic()
         for i, r in enumerate(reqs):
             r.future.set_result(frames[i * B : (i + 1) * B])
+            self.latency_s.append(now - r.t_submit)
+        self.batch_sizes.append(len(reqs))
         self.requests_run += len(reqs)
         self.batches_run += 1
         self.frames_run += len(reqs) * B

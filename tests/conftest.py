@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _stop_device_workers():
+    """Deterministically stop scheduler/coalescer worker threads at the
+    end of the test session: a daemon worker still blocked inside XLA at
+    interpreter teardown crashes the C++ layer AFTER the green pytest
+    summary ('terminate called ...' / 'FATAL: exception not rethrown').
+    Session scope (not per-test): module-scoped fixtures legitimately
+    share a running scheduler across tests. The lifecycle atexit hook is
+    the backstop for non-pytest entry points."""
+    yield
+    from livetalking_tpu.utils.lifecycle import stop_all
+
+    stop_all()

@@ -68,6 +68,47 @@ def test_store_offsets(store):
     assert store.add("a1", np.zeros((4, S, S, 3), np.uint8)) == (0, 4)
 
 
+def test_store_aux_planes():
+    """Aux planes pack alongside the cycle with the same offsets; later
+    adds must supply the same plane set with matching item shapes."""
+    st = AvatarStore(img_size=S)
+    rng = np.random.default_rng(2)
+    cyc1 = rng.integers(0, 200, (4, S, S, 3), dtype=np.uint8)
+    aux1 = {"frames": rng.integers(0, 255, (4, 32, 48, 3), dtype=np.uint8),
+            "geom": np.arange(8, dtype=np.int32).reshape(4, 2)}
+    st.add("a1", cyc1, aux=aux1)
+    assert st.aux["frames"].shape == (4, 32, 48, 3)
+
+    # plane-set mismatch rejected
+    with pytest.raises(ValueError):
+        st.add("bad1", cyc1.copy(), aux={"frames": aux1["frames"]})
+    # length mismatch rejected
+    with pytest.raises(ValueError):
+        st.add("bad2", cyc1.copy(),
+               aux={"frames": aux1["frames"][:2], "geom": aux1["geom"]})
+    # item-shape mismatch rejected
+    with pytest.raises(ValueError):
+        st.add("bad3", cyc1.copy(),
+               aux={"frames": np.zeros((4, 16, 48, 3), np.uint8),
+                    "geom": aux1["geom"]})
+
+    cyc2 = rng.integers(0, 200, (3, S, S, 3), dtype=np.uint8)
+    aux2 = {"frames": rng.integers(0, 255, (3, 32, 48, 3), dtype=np.uint8),
+            "geom": np.ones((3, 2), np.int32)}
+    off, n = st.add("a2", cyc2, aux=aux2)
+    assert (off, n) == (4, 3)
+    assert st.aux["frames"].shape == (7, 32, 48, 3)
+    np.testing.assert_array_equal(np.asarray(st.aux["geom"])[4:], aux2["geom"])
+
+
+def test_latency_and_batchsize_recorded(sched, store):
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((B, 4, 4)).astype(np.float32)
+    sched.infer(np.asarray([0, 1], np.int32), mel)
+    assert len(sched.latency_s) >= 1 and sched.latency_s[-1] >= 0.0
+    assert sched.batch_sizes[-1] >= 1
+
+
 def test_single_request_roundtrip(sched, store):
     rng = np.random.default_rng(1)
     idxs = np.array([1, 5], np.int32)
