@@ -60,8 +60,29 @@ def main() -> dict:
                          "k+1 runs on device; 1 = the old serialized "
                          "drive that idles the device for the D2H RTT + "
                          "host scatter between rounds)")
+    ap.add_argument("--engine", action="store_true",
+                    help="drive the REAL engine end to end: N MuseReal "
+                         "sessions with render/inference/compose threads, "
+                         "queue transport egress, --coalesce "
+                         "--device_paste_back composed (finalfps per the "
+                         "reference definition, reference "
+                         "server/webrtc.py:149)")
+    ap.add_argument("--frame_h", type=int, default=480)
+    ap.add_argument("--frame_w", type=int, default=640)
+    ap.add_argument("--d2h_subsample", type=int, default=16,
+                    help="engine mode: stride-subsample composed frames "
+                         "before D2H (tunnel workaround; 1 = full frames)")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="engine mode: real int8 calibration instead of "
+                         "dummy scales (identical graph; adds the "
+                         "calibration compile+walk to startup)")
+    ap.add_argument("--fused_vae", action="store_true",
+                    help="engine mode: route the int8 VAE up-chain onto "
+                         "the fused pallas kernel (LT_FUSED_VAE=1)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.engine:
+        return _engine_serving(args)
 
     import jax
     import jax.numpy as jnp
@@ -289,6 +310,202 @@ def main() -> dict:
                        "BatchScheduler; per-batch whisper feature encode; "
                        "result fetched as a 64x frame subsample (tunnel "
                        "workaround, computation fully serialized)",
+    }
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+def _engine_serving(args) -> dict:
+    """True egress measurement: N MuseReal sessions running the FULL
+    per-session pipeline (render loop -> whisper feature coalescer ->
+    shared BatchScheduler with DEVICE paste-back composed into the
+    super-batch step -> process_frames -> queue transport), counting
+    frames at the transport egress — `finalfps` per the reference
+    definition (reference server/webrtc.py:149), compose INCLUDED.
+
+    Tunnel-only deviation (same spirit as the module docstring): the
+    composed FULL frames are stride-subsampled on device before the D2H
+    fetch (--d2h_subsample, a production PCIe host runs 1 — 8 sessions
+    x 25 fps x 480x640x3 u8 = 184 MB/s, trivial on PCIe, impossible on
+    the ~3 MB/s dev tunnel). Every subsampled pixel depends on the
+    composite, so device work is fully serialized into the timing.
+    """
+    import queue as pyqueue
+    import tempfile
+    from threading import Event, Thread
+
+    if args.fused_vae:
+        os.environ["LT_FUSED_VAE"] = "1"
+
+    from livetalking_tpu import registry
+    from livetalking_tpu.avatars import musetalk_avatar as plugin
+    from livetalking_tpu.config import default_opt
+    from livetalking_tpu.models import sd_unet, sd_vae
+    from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
+
+    N, B = args.sessions, args.batch
+    use_int8 = not args.no_int8
+    buckets = sorted({b for b in (1, 2, 4, 8, N) if b <= N})
+    tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
+    base = dict(
+        transport="queue", tts="dummy", batch_size=B, model="musetalk",
+        coalesce=True, device_paste_back=True,
+        vae_int8=use_int8, unet_int8=use_int8,
+        whisper_short_window=bool(args.whisper_short),
+        coalesce_buckets=",".join(str(b) for b in buckets),
+        d2h_subsample=max(1, args.d2h_subsample),
+    )
+    print(f"# engine serving: N={N} B={B} int8={use_int8} "
+          f"frame={args.frame_w}x{args.frame_h} "
+          f"d2h_sub={base['d2h_subsample']} buckets={buckets} "
+          f"calibrated={args.calibrated} fused_vae={args.fused_vae}",
+          flush=True)
+
+    opt0 = default_opt(sessionid="bench0", **base)
+    model = plugin.load_model(opt0)  # random-init fallbacks, real graphs
+    make_synthetic_musetalk_avatar(
+        os.path.join(tmp, "avatars", "bench"), model["vae_params"],
+        n_frames=10, frame_hw=(args.frame_h, args.frame_w))
+    avatar = plugin.load_avatar("bench", tmp)
+
+    if use_int8 and not args.calibrated:
+        # dummy scales: identical compute graph, garbage values — skips
+        # the calibration walk (throughput-only run; --calibrated pairs
+        # real quality with the same timing)
+        from livetalking_tpu.avatars.musetalk_avatar import _with_dummy_scales
+
+        print("# quantizing (dummy scales)...", flush=True)
+        model["unet_params_q"] = _with_dummy_scales(
+            sd_unet.quantize_unet(model["unet_params"]))
+        model["vae_params_q"] = _with_dummy_scales(
+            sd_vae.quantize_decoder(model["vae_params"]))
+
+    plugin.reset_shared_scheduler()
+    print("# building sessions...", flush=True)
+    sessions = [
+        registry.create("avatar", "musetalk",
+                        opt=default_opt(sessionid=f"s{i}", **base),
+                        model=model, avatar=avatar)
+        for i in range(N)
+    ]
+    sched = plugin._shared["scheduler"]
+    assert sessions[0]._scheduler_composes, "device paste not composed"
+
+    quits = [Event() for _ in sessions]
+    render_threads = [Thread(target=s.render, args=(q,), daemon=True)
+                      for s, q in zip(sessions, quits)]
+    stop = Event()
+    counts = [0] * N
+    errors: list = []
+
+    def feeder(s):
+        rng = np.random.default_rng(7)
+        try:
+            while not stop.is_set():
+                if s.asr.queue.qsize() < 200:  # keep ~4 s of speech queued
+                    s.put_audio_frame(
+                        (rng.standard_normal(s.chunk) * 0.1).astype(np.float32))
+                else:
+                    time.sleep(0.05)
+        except Exception as e:  # pragma: no cover
+            errors.append(f"feeder: {e}")
+
+    def consumer(i, s):
+        try:
+            while not stop.is_set():
+                try:
+                    s.output.video_queue.get(timeout=0.2)
+                    counts[i] += 1
+                except pyqueue.Empty:
+                    pass
+                while True:  # drain audio so eventpoints keep flowing
+                    try:
+                        s.output.audio_queue.get_nowait()
+                    except pyqueue.Empty:
+                        break
+        except Exception as e:  # pragma: no cover
+            errors.append(f"consumer {i}: {e}")
+
+    aux_threads = ([Thread(target=feeder, args=(s,), daemon=True)
+                    for s in sessions]
+                   + [Thread(target=consumer, args=(i, s), daemon=True)
+                      for i, s in enumerate(sessions)])
+    for t in render_threads + aux_threads:
+        t.start()
+
+    # warmup: every session must egress a few batches (covers the
+    # super-batch + paste + whisper-bucket compiles)
+    print("# warming (compiles on first contact)...", flush=True)
+    warm_target = 3 * B
+    deadline = time.time() + 1800
+    while (any(c < warm_target for c in counts) and not errors
+           and time.time() < deadline):
+        time.sleep(0.5)
+    if errors:
+        raise RuntimeError("; ".join(errors))
+    if any(c < warm_target for c in counts):
+        raise RuntimeError(f"warmup timed out: egress counts {counts}")
+
+    lat_skip = len(sched.latency_s)
+    bs_skip = len(sched.batch_sizes)
+    snap0 = list(counts)
+    t0 = time.time()
+    time.sleep(args.secs)
+    snap1 = list(counts)
+    elapsed = time.time() - t0
+
+    stop.set()
+    for q in quits:
+        q.set()
+    for t in render_threads + aux_threads:
+        t.join(timeout=20)
+    lat = np.asarray(list(sched.latency_s)[lat_skip:], np.float64)
+    bsz = np.asarray(list(sched.batch_sizes)[bs_skip:], np.int64)
+    plugin.reset_shared_scheduler()
+    if errors:
+        raise RuntimeError("; ".join(errors))
+
+    per_session = [(b - a) / elapsed for a, b in zip(snap0, snap1)]
+    batch_budget_s = B / 25.0  # one B-frame request = B/25 s of video
+    result = {
+        "metric": "musetalk_engine_egress_finalfps_per_session",
+        "value": round(min(per_session), 2),
+        "unit": "frames/s/session",
+        "vs_baseline": round(min(per_session) / 25.0, 2),
+        "sessions": N,
+        "batch": B,
+        "int8": use_int8,
+        "int8_calibrated": bool(args.calibrated and use_int8),
+        "fused_vae": bool(args.fused_vae),
+        "device_paste_back": True,
+        "coalesce": True,
+        "frame_hw": [args.frame_h, args.frame_w],
+        "d2h_subsample": base["d2h_subsample"],
+        "per_session_fps": [round(v, 2) for v in per_session],
+        "aggregate_fps": round(sum(per_session), 1),
+        "elapsed_s": round(elapsed, 1),
+        "latency_ms": {
+            "p50": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "p90": round(float(np.percentile(lat, 90)) * 1e3, 1),
+            "p99": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            "max": round(float(lat.max()) * 1e3, 1),
+            "budget": round(batch_budget_s * 1e3, 1),
+            "n": int(lat.size),
+        } if lat.size else None,
+        "deadline_miss_rate": (round(float((lat > batch_budget_s).mean()), 4)
+                               if lat.size else None),
+        "mean_coalesced_sessions": (round(float(bsz.mean()), 2)
+                                    if bsz.size else None),
+        "methodology": "N real MuseReal sessions end to end (render + "
+                       "inference + compose threads, feature coalescer, "
+                       "shared scheduler with device paste composed into "
+                       "the super-batch step, queue transport); frames "
+                       "counted at transport egress; latency = per-request "
+                       "submit->resolve at the scheduler; composed frames "
+                       "stride-subsampled before D2H (tunnel workaround)",
     }
     print(json.dumps(result), flush=True)
     if args.out:

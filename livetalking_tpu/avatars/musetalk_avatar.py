@@ -45,7 +45,16 @@ _shared: dict = {"store": None, "scheduler": None}
 
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          unet_params, vae_params, vae_int8: bool,
-                         unet_int8: bool, buckets=(1, 2, 4, 8)) -> tuple:
+                         unet_int8: bool, buckets=(1, 2, 4, 8),
+                         paste_spec: Dict[str, int] = None,
+                         d2h_subsample: int = 1) -> tuple:
+    """``paste_spec`` (from the FIRST session's avatar geometry:
+    ``{"S", "H", "W", "Ho", "Wo"}``) composes the device paste-back into
+    the super-batch step itself — the coalesced path then returns
+    finished FULL frames and the per-session host compose stage
+    (reference avatars/base_avatar.py:383-467 paste/blend) disappears.
+    Later sessions must agree on frame resolution and fit the shared
+    crop bucket (checked when their paste data is prepared)."""
     from livetalking_tpu.engine.scheduler import (
         AvatarStore,
         BatchScheduler,
@@ -55,9 +64,22 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
 
     with _shared_lock:
         cfg = {"batch_size": batch_size, "vae_int8": vae_int8,
-               "unet_int8": unet_int8, "buckets": tuple(buckets)}
+               "unet_int8": unet_int8, "buckets": tuple(buckets),
+               "paste": (None if paste_spec is None
+                         else (paste_spec["H"], paste_spec["W"])),
+               "d2h_subsample": int(d2h_subsample)}
         if _shared["scheduler"] is None:
             store = AvatarStore(item_shape=(32, 32, 8), dtype=np.float32)
+            paste_fn = None
+            if paste_spec is not None:
+                from livetalking_tpu.ops.pallas_blend import (
+                    make_masked_paste_fn,
+                )
+
+                paste_fn = make_masked_paste_fn(
+                    paste_spec["S"], paste_spec["Ho"], paste_spec["Wo"],
+                    paste_spec["H"], paste_spec["W"])
+                _shared["paste_geom"] = dict(paste_spec)
 
             def step_factory(n):
                 step = mt.make_infer_fn(model["unet_cfg"], n,
@@ -65,7 +87,16 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                                         unet_int8=unet_int8)
 
                 def wrapped(params, buffer, idxs, whisper):
-                    return step(params[0], params[1], buffer, idxs, whisper)
+                    pred = step(params[0], params[1], buffer, idxs, whisper)
+                    if paste_fn is None:
+                        return pred
+                    aux = store.aux  # re-read: grows as avatars register
+                    out = paste_fn(pred, aux["pb_frames"], idxs,
+                                   aux["pb_origins"], aux["pb_scalars"],
+                                   aux["pb_masks"])
+                    if d2h_subsample > 1:  # dev/bench tunnel workaround
+                        out = out[:, ::d2h_subsample, ::d2h_subsample]
+                    return out
                 return wrapped
 
             sched = BatchScheduler((unet_params, vae_params), store,
@@ -139,6 +170,7 @@ def reset_shared_scheduler() -> None:
         _shared["feat_coalescer"] = None
         _shared.pop("config", None)
         _shared.pop("feat_config", None)
+        _shared.pop("paste_geom", None)
 
 
 def load_model(opt=None) -> Dict[str, Any]:
@@ -375,27 +407,74 @@ class MuseReal(BaseAvatar):
 
         self._scheduler = None
         self._store_offset = 0
+        self._scheduler_composes = False
         feat_coalescer = None
         if getattr(opt, "coalesce", False):
-            from livetalking_tpu.engine.scheduler import parse_buckets
+            from livetalking_tpu.engine.scheduler import (
+                SchedulerConfigError,
+                parse_buckets,
+            )
 
+            paste_spec = None
+            use_paste = bool(getattr(opt, "device_paste_back", False))
+            if use_paste:
+                from livetalking_tpu.ops.pallas_blend import bucket_shape
+
+                fh, fw = self.frame_list_cycle[0].shape[:2]
+                ho, wo = bucket_shape(
+                    [(ys, ye, xs, xe)
+                     for (xs, ys, xe, ye) in self.mask_coords_list_cycle])
+                paste_spec = {"S": 256, "H": fh, "W": fw, "Ho": ho, "Wo": wo}
             store, self._scheduler = get_shared_scheduler(
                 model, self.batch_size, self._unet_params, self._vae_params,
-                use_int8, use_unet_int8, buckets=parse_buckets(opt))
+                use_int8, use_unet_int8, buckets=parse_buckets(opt),
+                paste_spec=paste_spec,
+                d2h_subsample=int(getattr(opt, "d2h_subsample", 1)))
             # validate the feature-coalescer config BEFORE store.add: a
             # conflicting session must be rejected without leaking its
             # packed latent cycle into the shared device store (the store
             # has no remove API)
             feat_coalescer = get_shared_feature_coalescer(model, opt)
+            aux = None
+            if use_paste:
+                # paste data prepared against the SHARED bucket (fixed by
+                # the first session); a too-big face crop raises BEFORE
+                # store.add so nothing leaks into the shared store
+                from livetalking_tpu.ops.pallas_blend import (
+                    prepare_masked_paste_data,
+                )
+
+                geom = _shared["paste_geom"]
+                if (fh, fw) != (geom["H"], geom["W"]):
+                    raise SchedulerConfigError(
+                        f"coalesce+device_paste_back: avatar frame "
+                        f"{fw}x{fh} != shared {geom['W']}x{geom['H']}")
+                try:
+                    origins, scalars, masks = prepare_masked_paste_data(
+                        self.coord_list_cycle, self.mask_coords_list_cycle,
+                        self.mask_list_cycle, geom["Ho"], geom["Wo"],
+                        geom["H"], geom["W"])
+                except ValueError as e:
+                    raise SchedulerConfigError(
+                        f"coalesce+device_paste_back: {e}") from e
+                aux = {
+                    "pb_frames": np.stack(self.frame_list_cycle).astype(np.uint8),
+                    "pb_origins": origins,
+                    "pb_scalars": scalars,
+                    "pb_masks": masks,
+                }
+                self._scheduler_composes = True
             self._store_offset, _ = store.add(
-                avatar["avatar_id"], avatar["latent_cycle_host"])
+                avatar["avatar_id"], avatar["latent_cycle_host"], aux=aux)
         else:
             self._step = mt.make_infer_fn(model["unet_cfg"], self.batch_size,
                                           dtype=model["dtype"], vae_int8=use_int8,
                                           unet_int8=use_unet_int8)
 
         # on-device composite with the per-frame feathered parse masks
-        # (ops/pallas_blend.py MaskedDevicePasteBack)
+        # (ops/pallas_blend.py MaskedDevicePasteBack); under --coalesce
+        # the compose rides the shared scheduler's super-batch step
+        # instead (self._scheduler_composes above)
         self._device_paste = None
         if getattr(opt, "device_paste_back", False) and self._scheduler is None:
             from livetalking_tpu.ops.pallas_blend import MaskedDevicePasteBack
@@ -420,7 +499,9 @@ class MuseReal(BaseAvatar):
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
         host_idxs = mirror_indices(self._n_frames, index, self.batch_size)
         if self._scheduler is not None:
-            # cross-session batching: one shared device worker per process
+            # cross-session batching: one shared device worker per
+            # process; with _scheduler_composes the result is already
+            # finished FULL frames (device paste inside the super-batch)
             pred = self._scheduler.infer(host_idxs + self._store_offset,
                                          audiofeat_batch)
         else:
@@ -434,7 +515,7 @@ class MuseReal(BaseAvatar):
         return np.asarray(pred)  # (B, 256, 256, 3) uint8 BGR
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
-        if self._device_paste is not None:
+        if self._device_paste is not None or self._scheduler_composes:
             return pred_frame  # already a composited full frame (engine normalizes layout)
         x1, y1, x2, y2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()

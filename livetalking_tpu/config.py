@@ -89,6 +89,11 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
         help="composite predicted crops into full frames on device "
              "(ops/pallas_blend.py fused resize+blend+paste) instead of "
              "per-frame host cv2")
+    add("--d2h_subsample", type=int, default=1,
+        help="DEV/BENCH ONLY: stride-subsample the composed full frames "
+             "before the device->host fetch under --coalesce "
+             "--device_paste_back (a ~3 MB/s tunneled dev chip cannot "
+             "carry full-frame egress; production PCIe hosts run 1)")
     add("--mesh", type=str, default="",
         help="device mesh spec, e.g. 'dp=4,tp=2'; empty = single chip")
     add("--profile_dir", type=str, default="",

@@ -54,6 +54,7 @@ __all__ = [
     "resize_paste_xla",
     "DevicePasteBack",
     "MaskedDevicePasteBack",
+    "prepare_masked_paste_data",
     "bucket_shape",
 ]
 
@@ -389,23 +390,59 @@ class DevicePasteBack:
         return np.asarray(out)
 
 
+def prepare_masked_paste_data(face_boxes, crop_boxes, mask_imgs,
+                              Ho: int, Wo: int, H: int, W: int):
+    """Precompute per-cycle-index masked-paste geometry against a given
+    (Ho, Wo) crop bucket: the clamped paste origin, the bbox geometry
+    scalars, and an (Ho, Wo) uint8 alpha buffer = parse mask restricted
+    to the bbox (outside the bbox the reference blend is identity, so
+    alpha is zeroed there — reference avatars/musetalk/myutil.py:4-26).
+
+    Returns ``(origins (N,2) i32, scalars (N,4) i32, masks (N,Ho,Wo)
+    u8)``. Raises ``ValueError`` when a crop box exceeds the bucket —
+    callers sharing a bucket across avatars (the coalesced scheduler)
+    must surface that as a session-config error."""
+    import cv2
+
+    N = len(face_boxes)
+    origins = np.zeros((N, 2), np.int32)
+    scalars = np.zeros((N, 4), np.int32)
+    masks = np.zeros((N, Ho, Wo), np.uint8)
+    for i, ((x, y, x1, y1), (xs, ys, xe, ye), m) in enumerate(
+            zip(face_boxes, crop_boxes, mask_imgs)):
+        if ye - ys > Ho or xe - xs > Wo:
+            raise ValueError(
+                f"crop box {xe - xs}x{ye - ys} (index {i}) exceeds the "
+                f"paste bucket {Wo}x{Ho}")
+        oy = int(np.clip(ys, 0, H - Ho))
+        ox = int(np.clip(xs, 0, W - Wo))
+        origins[i] = (oy, ox)
+        scalars[i] = (y1 - y, x1 - x, y - oy, x - ox)
+        g = m if m.ndim == 2 else cv2.cvtColor(m, cv2.COLOR_BGR2GRAY)
+        if g.shape != (ye - ys, xe - xs):
+            g = cv2.resize(g, (xe - xs, ye - ys))
+        buf = np.zeros((Ho, Wo), np.uint8)
+        buf[ys - oy:ye - oy, xs - ox:xe - ox] = g
+        # outside the bbox the reference blend is identity: zero alpha
+        keep = np.zeros_like(buf)
+        keep[y - oy:y1 - oy, x - ox:x1 - ox] = 1
+        masks[i] = buf * keep
+    return origins, scalars, masks
+
+
 class MaskedDevicePasteBack:
     """MuseTalk-shaped device composite: per-cycle-index feathered
     face-parse masks inside a larger crop box (reference
     avatars/musetalk/myutil.py:4-26 + musetalk_avatar.py:154-164).
 
-    Precomputes, per cycle index, the clamped paste origin, the bbox
-    geometry scalars, and an (Ho, Wo) uint8 alpha buffer = parse mask
-    restricted to the bbox (outside the bbox the reference blend is a
-    no-op, so alpha is zeroed there). Everything is device-resident;
-    ``paste_batch`` gathers by index on device.
+    Precomputes the geometry via ``prepare_masked_paste_data``.
+    Everything is device-resident; ``paste_batch`` gathers by index on
+    device.
     """
 
     def __init__(self, frames: np.ndarray, face_boxes, crop_boxes, mask_imgs,
                  S: int, use_pallas: Optional[bool] = None,
                  interpret: bool = False):
-        import cv2
-
         N, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
         self.Ho, self.Wo = bucket_shape(
             [(ys, ye, xs, xe) for (xs, ys, xe, ye) in crop_boxes])
@@ -413,24 +450,8 @@ class MaskedDevicePasteBack:
         if not self.available:
             return
 
-        origins = np.zeros((N, 2), np.int32)
-        scalars = np.zeros((N, 4), np.int32)
-        masks = np.zeros((N, self.Ho, self.Wo), np.uint8)
-        for i, ((x, y, x1, y1), (xs, ys, xe, ye), m) in enumerate(
-                zip(face_boxes, crop_boxes, mask_imgs)):
-            oy = int(np.clip(ys, 0, H - self.Ho))
-            ox = int(np.clip(xs, 0, W - self.Wo))
-            origins[i] = (oy, ox)
-            scalars[i] = (y1 - y, x1 - x, y - oy, x - ox)
-            g = m if m.ndim == 2 else cv2.cvtColor(m, cv2.COLOR_BGR2GRAY)
-            if g.shape != (ye - ys, xe - xs):
-                g = cv2.resize(g, (xe - xs, ye - ys))
-            buf = np.zeros((self.Ho, self.Wo), np.uint8)
-            buf[ys - oy:ye - oy, xs - ox:xe - ox] = g
-            # outside the bbox the reference blend is identity: zero alpha
-            keep = np.zeros_like(buf)
-            keep[y - oy:y1 - oy, x - ox:x1 - ox] = 1
-            masks[i] = buf * keep
+        origins, scalars, masks = prepare_masked_paste_data(
+            face_boxes, crop_boxes, mask_imgs, self.Ho, self.Wo, H, W)
 
         self.frames_dev = jnp.asarray(frames.astype(np.uint8))
         self.origins_dev = jnp.asarray(origins)
