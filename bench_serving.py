@@ -79,6 +79,8 @@ def main() -> dict:
     ap.add_argument("--fused_vae", action="store_true",
                     help="engine mode: route the int8 VAE up-chain onto "
                          "the fused pallas kernel (LT_FUSED_VAE=1)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="engine mode: tiny U-Net config (smoke runs)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if args.engine:
@@ -357,6 +359,7 @@ def _engine_serving(args) -> dict:
         whisper_short_window=bool(args.whisper_short),
         coalesce_buckets=",".join(str(b) for b in buckets),
         d2h_subsample=max(1, args.d2h_subsample),
+        musetalk_size="tiny" if args.tiny else "full",
     )
     print(f"# engine serving: N={N} B={B} int8={use_int8} "
           f"frame={args.frame_w}x{args.frame_h} "
@@ -436,13 +439,18 @@ def _engine_serving(args) -> dict:
     for t in render_threads + aux_threads:
         t.start()
 
-    # warmup: every session must egress a few batches (covers the
-    # super-batch + paste + whisper-bucket compiles)
+    # warmup: every session must egress several batches (covers the
+    # super-batch + paste + whisper-bucket compiles, which land lazily
+    # as coalescing widens through the bucket ladder)
     print("# warming (compiles on first contact)...", flush=True)
-    warm_target = 3 * B
+    warm_target = 8 * B
     deadline = time.time() + 1800
+    last = 0.0
     while (any(c < warm_target for c in counts) and not errors
            and time.time() < deadline):
+        if time.time() - last > 15:
+            print(f"#   egress counts {counts}", flush=True)
+            last = time.time()
         time.sleep(0.5)
     if errors:
         raise RuntimeError("; ".join(errors))

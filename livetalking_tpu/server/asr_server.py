@@ -271,6 +271,15 @@ async def asr_websocket_handler(request: web.Request) -> web.WebSocketResponse:
                         text, _, _ = await loop.run_in_executor(
                             None, _run_inference, audio, SAMPLE_RATE,
                             config.get("language", "auto"))
+                        if text:
+                            # SenseVoice-parity transcript post-pass:
+                            # punctuation + (protocol-flagged) ITN
+                            from livetalking_tpu.server.textnorm import (
+                                postprocess,
+                            )
+
+                            text = postprocess(
+                                text, itn=bool(config.get("itn", True)))
                     except Exception:
                         logger.exception("[ASR] inference failed")
                         text = ""
