@@ -423,11 +423,16 @@ class BaseAvatar:
                     frame = self.frame_list_cycle[idx].copy()
             else:
                 self.speaking = True
-                try:
-                    frame = self.paste_back_frame(res_frame, idx)  # fresh frame
-                except Exception as e:
-                    logger.warning("paste_back_frame error: %s", e)
-                    continue
+                if res_frame is None:
+                    # a degraded speech batch (inference_batch failure):
+                    # replay the idle frame rather than dropping A/V sync
+                    frame = self.frame_list_cycle[idx].copy()
+                else:
+                    try:
+                        frame = self.paste_back_frame(res_frame, idx)  # fresh frame
+                    except Exception as e:
+                        logger.warning("paste_back_frame error: %s", e)
+                        continue
 
             # device-buffer views may be read-only or non-C-contiguous
             # (backend-dependent); cv2 needs a writable C-order Mat

@@ -18,7 +18,9 @@ then hit the BatchScheduler nearly simultaneously.
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from queue import Empty, Queue
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
@@ -48,6 +50,13 @@ class FeatureCoalescer:
         self._thread: Optional[threading.Thread] = None
         self.batches_run = 0
         self.requests_run = 0
+        # compile grace (same contract as BatchScheduler): first-contact
+        # bucket compiles — and waiting behind ANOTHER worker's compile
+        # on the shared device — can take minutes; encode() must not
+        # misread that as a wedged device
+        self.first_contact_timeout = 900.0
+        self._warm: set = set()
+        self._grace_deadline = 0.0
 
     def submit(self, wav: np.ndarray) -> Future:
         assert wav.shape == (self.window_samples,), wav.shape
@@ -60,10 +69,19 @@ class FeatureCoalescer:
         return fut
 
     def encode(self, wav: np.ndarray, timeout: float = 120.0):
-        """Bounded wait: a worker wedged in a remote compile (a routine
-        tunnel failure mode) must surface as an error in the session's
-        feature thread, not a silent permanent hang."""
-        return self.submit(wav).result(timeout=timeout)
+        """Bounded wait: a wedged device must surface as an error in the
+        session's feature thread, not a silent permanent hang — but a
+        legitimate first-contact bucket compile extends the bound (see
+        BatchScheduler.infer)."""
+        fut = self.submit(wav)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return fut.result(timeout=2.0)
+            except FutureTimeout:
+                if time.monotonic() < max(deadline, self._grace_deadline):
+                    continue
+                raise
 
     def start(self) -> None:
         if self._thread is not None:
@@ -102,6 +120,7 @@ class FeatureCoalescer:
                         self._fns[b] = self._factory(b)
                     self._fns[b](np.zeros((b, self.window_samples),
                                           np.float32))
+                    self._warm.add(b)
                 except Exception:
                     logger.exception("feature coalescer prewarm(%d) failed", b)
 
@@ -124,6 +143,9 @@ class FeatureCoalescer:
                 except Empty:
                     break
             bucket = next(b for b in self.buckets if b >= len(reqs))
+            if bucket not in self._warm:
+                self._grace_deadline = (time.monotonic()
+                                        + self.first_contact_timeout)
             if bucket not in self._fns:
                 self._fns[bucket] = self._factory(bucket)
             wavs = np.zeros((bucket, self.window_samples), np.float32)
@@ -131,6 +153,9 @@ class FeatureCoalescer:
                 wavs[i] = w
             try:
                 out = self._fns[bucket](wavs)
+                self._warm.add(bucket)
+                self._grace_deadline = min(self._grace_deadline,
+                                           time.monotonic() + 120.0)
                 for i, (_w, f) in enumerate(reqs):
                     if not f.done():
                         f.set_result(out[i])  # device-resident row

@@ -24,6 +24,7 @@ import threading
 import time
 from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from queue import Empty, Queue
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -159,6 +160,13 @@ class BatchScheduler:
         # latency percentiles)
         self.latency_s: "deque[float]" = deque(maxlen=4096)
         self.batch_sizes: "deque[int]" = deque(maxlen=4096)
+        # first-contact compiles of a bucket's super-batch program can
+        # take minutes (remote compiler); sessions must not misread that
+        # as a wedged device. The worker extends this deadline while a
+        # cold bucket compiles; infer() waits until max(own timeout, it).
+        self.first_contact_timeout = 900.0
+        self._warm_buckets: set = set()
+        self._grace_deadline = 0.0
 
     # -- session API ------------------------------------------------------
     def submit(self, global_idxs: np.ndarray, mel) -> Future:
@@ -174,10 +182,21 @@ class BatchScheduler:
 
     def infer(self, global_idxs: np.ndarray, mel,
               timeout: float = 120.0) -> np.ndarray:
-        """Bounded wait: a worker wedged in a remote compile (a routine
-        tunnel failure mode) must surface as an error in the session's
-        inference thread, not a silent permanent hang."""
-        return self.submit(global_idxs, mel).result(timeout=timeout)
+        """Bounded wait: a wedged device (dead tunnel, hung remote
+        compile) must surface as an error in the session's inference
+        thread, not a silent permanent hang — but a legitimate
+        first-contact compile of a cold bucket (minutes) must NOT trip
+        the bound, so the wait extends to the worker's compile-grace
+        deadline while one is active."""
+        fut = self.submit(global_idxs, mel)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return fut.result(timeout=2.0)
+            except FutureTimeout:
+                if time.monotonic() < max(deadline, self._grace_deadline):
+                    continue
+                raise
 
     # -- worker -----------------------------------------------------------
     def start(self) -> None:
@@ -229,6 +248,11 @@ class BatchScheduler:
         k = len(reqs)
         bucket = next(b for b in self.buckets if b >= k)
         B = self.batch_size
+        if bucket not in self._warm_buckets:
+            # cold bucket: the step call below blocks this thread for the
+            # trace+compile; open the grace window for waiting sessions
+            self._grace_deadline = (time.monotonic()
+                                    + self.first_contact_timeout)
 
         idxs = np.zeros(bucket * B, np.int32)
         mels = []
@@ -239,7 +263,10 @@ class BatchScheduler:
         if pad:
             mels.append(jnp.zeros((pad * B,) + mels[0].shape[1:], jnp.float32))
         mel = jnp.concatenate(mels, axis=0).astype(jnp.float32)
-        return self._steps[bucket](self.params, self.store.buffer, jnp.asarray(idxs), mel)
+        out = self._steps[bucket](self.params, self.store.buffer,
+                                  jnp.asarray(idxs), mel)
+        self._warm_buckets.add(bucket)  # returned => compile done
+        return out
 
     def _resolve(self, dev_frames, reqs: List[_Request]) -> None:
         """Block on D2H and scatter frames to per-session futures."""
@@ -253,6 +280,10 @@ class BatchScheduler:
         self.requests_run += len(reqs)
         self.batches_run += 1
         self.frames_run += len(reqs) * B
+        # a completed batch proves the device is healthy: shrink any open
+        # compile grace back toward the normal bound
+        self._grace_deadline = min(self._grace_deadline,
+                                   time.monotonic() + 120.0)
 
     def _run(self) -> None:
         """Double-buffered loop (SURVEY §2.10(c)): dispatch super-batch N+1
