@@ -235,6 +235,60 @@ def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, 2 * H, 2 * W, C)
 
 
+def fold_up_kernel(w3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, I, O) -> (4, 4, I, O): conv3x3(nearest2x(x)) equals ONE
+    lhs-dilated conv with this kernel (nearest duplication = zero-insert
+    then a 2x2-ones depthwise conv; convolving that into the 3x3 gives
+    the 1D fold [w0, w0+w1, w1+w2, w2] along each spatial axis, applied
+    with lhs_dilation=2 and padding (2,2)). The 2x-upsampled tensor then
+    never exists — the conv reads the quarter-size input directly."""
+    import functools
+
+    def fold(w, axis):
+        take = functools.partial(jax.lax.index_in_dim, w, axis=axis,
+                                 keepdims=True)
+        return jnp.concatenate(
+            [take(0), take(0) + take(1), take(1) + take(2), take(2)],
+            axis=axis)
+    return fold(fold(w3, 0), 1)
+
+
+def quantize_conv_up(p: Params) -> Params:
+    """quantize_conv for a 2x-upsampler conv: additionally stores the
+    folded 4x4 kernel (int8, per-output-channel scales) for the
+    lhs-dilated path ``conv_q_up``."""
+    q = quantize_conv(p)
+    k4 = fold_up_kernel(jnp.asarray(p["w"], jnp.float32))
+    s4 = jnp.maximum(jnp.max(jnp.abs(k4), axis=(0, 1, 2)), 1e-8) / 127.0
+    q["wq4"] = jnp.clip(jnp.round(k4 / s4[None, None, None, :]),
+                        -127, 127).astype(jnp.int8)
+    q["ws4"] = s4
+    return q
+
+
+def conv_q_up(pq: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 2x-upsampler conv — drop-in for
+    ``conv_q(pq, upsample_nearest2x(x))`` when the folded kernel is
+    present (see quantize_conv_up): the int8 quantize pass reads/writes
+    the QUARTER-size tensor and one lhs-dilated conv produces the
+    (2H, 2W) output directly."""
+    if "wq4" not in pq:
+        return conv_q(pq, upsample_nearest2x(x))
+    if "as" in pq:
+        sx = pq["as"]
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, pq["wq4"], (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * pq["ws4"]) + pq["b"]
+    return y.astype(x.dtype)
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """diffusers get_timestep_embedding with flip_sin_to_cos=True,
     downscale_freq_shift=0 (SD1.x): [cos | sin]."""

@@ -154,7 +154,16 @@ def _identity_kernel(cin, cout, groups, k):
 def _fold_mobileone(sd, prefix, cin, cout, k, groups, dtype):
     """Fold a train-mode MobileOneBlock (reference base_module.py:193-298:
     num_conv_branches conv+BN branches + optional 1x1 scale branch +
-    optional skip BN) into one conv."""
+    optional skip BN) into one conv.
+
+    The reference's ``_conv_bn`` uses NAMED children (keys
+    ``rbr_conv.{i}.conv.weight`` / ``rbr_conv.{i}.bn.*``,
+    ``rbr_scale.conv/.bn`` — base_module.py:402-419); the indexed
+    ``.0/.1`` Sequential layout some PFLD forks ship is accepted too.
+    (r3: the named layout was initially missed — every branch lookup
+    silently failed and the fold degenerated to the skip BN alone, 16 dB
+    vs the reference net. Caught by tools/validate_weights.py; missing
+    branches now raise.)"""
     W = np.zeros((cout, cin // groups, k, k), np.float32)
     B = np.zeros((cout,), np.float32)
 
@@ -162,16 +171,25 @@ def _fold_mobileone(sd, prefix, cin, cout, k, groups, dtype):
         return (_np_(sd[f"{p}.weight"]), _np_(sd[f"{p}.bias"]),
                 _np_(sd[f"{p}.running_mean"]), _np_(sd[f"{p}.running_var"]))
 
+    def conv_bn_keys(b):
+        if f"{b}.conv.weight" in sd:        # reference named layout
+            return f"{b}.conv.weight", f"{b}.bn"
+        if f"{b}.0.weight" in sd:           # indexed Sequential layout
+            return f"{b}.0.weight", f"{b}.1"
+        return None
+
+    folded = 0
     for i in range(N_BRANCHES):
-        b = f"{prefix}.rbr_conv.{i}"
-        if f"{b}.0.weight" not in sd:
+        kk = conv_bn_keys(f"{prefix}.rbr_conv.{i}")
+        if kk is None:
             break
-        w, bias = _fold_conv_bn(_np_(sd[f"{b}.0.weight"]), *bn(f"{b}.1"))
+        w, bias = _fold_conv_bn(_np_(sd[kk[0]]), *bn(kk[1]))
         W += w
         B += bias
-    if f"{prefix}.rbr_scale.0.weight" in sd:  # 1x1 scale branch (k > 1)
-        w, bias = _fold_conv_bn(_np_(sd[f"{prefix}.rbr_scale.0.weight"]),
-                                *bn(f"{prefix}.rbr_scale.1"))
+        folded += 1
+    kk = conv_bn_keys(f"{prefix}.rbr_scale")
+    if kk is not None:  # 1x1 scale branch (k > 1)
+        w, bias = _fold_conv_bn(_np_(sd[kk[0]]), *bn(kk[1]))
         W += _pad_center(w, k)
         B += bias
     if f"{prefix}.rbr_skip.weight" in sd:  # skip BN (cin == cout, s == 1)
@@ -182,6 +200,10 @@ def _fold_mobileone(sd, prefix, cin, cout, k, groups, dtype):
     if f"{prefix}.reparam_conv.weight" in sd:  # inference-mode checkpoint
         W = _np_(sd[f"{prefix}.reparam_conv.weight"])
         B = _np_(sd[f"{prefix}.reparam_conv.bias"])
+    elif folded == 0:
+        raise KeyError(
+            f"{prefix}: no rbr_conv branches or reparam_conv in state "
+            "dict (unrecognized MobileOne key layout)")
     return {"w": jnp.asarray(W.transpose(2, 3, 1, 0), dtype),
             "b": jnp.asarray(B, dtype)}
 

@@ -92,8 +92,27 @@ def decode(params: Params, z: jnp.ndarray, *,
 # int8 primitives live in diffusion_blocks (shared with the U-Net path)
 from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
     conv_q as _conv_q,
+    conv_q_up as _conv_q_up,
     quantize_conv as _quantize_conv,
+    quantize_conv_up as _quantize_conv_up,
 )
+
+
+def _up_conv_q(pq: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """XLA upsampler conv. Default routing is shape-aware, from the
+    B=16 v5e A/B (tools/bench_upsampler.py, r3): the lhs-dilated
+    folded-kernel form (conv_q_up — the 2x tensor never materializes,
+    the quantize pass reads the quarter-size input) wins at the two big
+    decoder shapes (64->128px 512ch: 4.16 vs 4.73 ms; 128->256px 256ch:
+    5.79 vs 6.46 ms) and loses at 32->64px 512ch (1.43 vs 1.25 ms), so
+    inputs >= 64px dilate and smaller ones upsample-then-conv (XLA
+    fuses the quantize into the upsample write). LT_DILATED_UP=0/1
+    forces one path everywhere (A/B hook)."""
+    mode = os.environ.get("LT_DILATED_UP", "auto")
+    if mode == "1" or (mode == "auto" and h.shape[1] >= 64
+                       and "wq4" in pq):
+        return _conv_q_up(pq, h)
+    return _conv_q(pq, upsample_nearest2x(h))
 
 
 def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -126,7 +145,7 @@ def quantize_decoder(params: Params) -> Params:
     for blk in params["dec_up"]:
         qblk: Params = {"resnets": [q_resnet(rp) for rp in blk["resnets"]]}
         if "up" in blk:
-            qblk["up"] = _quantize_conv(blk["up"])
+            qblk["up"] = _quantize_conv_up(blk["up"])
         q["dec_up"].append(qblk)
     return q
 
@@ -354,7 +373,7 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                                             interpret=interpret)
         if "up" in blk:
             if bi in skip_up or bi < from_block:
-                h = _conv_q(blk["up"], upsample_nearest2x(h))
+                h = _up_conv_q(blk["up"], h)
                 s1 = s2 = None              # chain drops (free)
                 continue
             up = blk["up"]
@@ -410,7 +429,7 @@ def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
         for rp in blk["resnets"]:
             h = _resnet_block_q(rp, h)
         if "up" in blk:
-            h = _conv_q(blk["up"], upsample_nearest2x(h))
+            h = _up_conv_q(blk["up"], h)
     h = _conv_q(params_q["dec_conv_out"], silu(group_norm(params_q["dec_norm_out"], h)))
     return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 

@@ -310,3 +310,49 @@ def test_warmup_dummy_scales_match_calibrated_structure(rng):
     vcal = sd_vae.calibrate_decoder(vp, sd_vae.quantize_decoder(vp), z)
     vdummy = _with_dummy_scales(sd_vae.quantize_decoder(vp))
     assert (jax.tree.structure(vdummy) == jax.tree.structure(vcal))
+
+
+def test_fold_up_kernel_exact():
+    """conv3x3(nearest2x(x)) == one lhs-dilated conv with the folded 4x4
+    kernel (the dilated upsampler path, db.conv_q_up)."""
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.standard_normal((2, 9, 11, 6)).astype(np.float32))
+    w = jnp.asarray(r.standard_normal((3, 3, 6, 5)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        db.upsample_nearest2x(x), w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(
+        x, db.fold_up_kernel(w), (1, 1), ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == want.shape == (2, 18, 22, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_conv_q_up_matches_upsample_conv_q():
+    """int8 dilated upsampler vs int8 upsample-then-conv: both are 8-bit
+    quantizations of the same effective kernel, so outputs agree within
+    quantization tolerance; and the LT_DILATED_UP routing in
+    sd_vae._up_conv_q selects it."""
+    r = np.random.default_rng(8)
+    x = jnp.asarray((r.standard_normal((1, 8, 8, 16)) * 0.5).astype(np.float32))
+    p = {"w": jnp.asarray(r.standard_normal((3, 3, 16, 16)).astype(np.float32)
+                          * 0.1),
+         "b": jnp.asarray(r.standard_normal((16,)).astype(np.float32) * 0.1)}
+    pq = db.quantize_conv_up(p)
+    pq["as"] = jnp.asarray(0.02, jnp.float32)
+    a = np.asarray(db.conv_q(pq, db.upsample_nearest2x(x)))
+    bq = np.asarray(db.conv_q_up(pq, x))
+    assert bq.shape == a.shape == (1, 16, 16, 16)
+    ref = np.abs(a).max()
+    assert np.abs(a - bq).max() < 0.05 * max(ref, 1.0), np.abs(a - bq).max()
+
+    import os
+
+    from livetalking_tpu.models.sd_vae import _up_conv_q
+    os.environ["LT_DILATED_UP"] = "1"
+    try:
+        routed = np.asarray(_up_conv_q(pq, x))
+    finally:
+        os.environ.pop("LT_DILATED_UP")
+    np.testing.assert_array_equal(routed, bq)

@@ -28,6 +28,21 @@ def conv_block(cin, cout, k, s, p, group=1, has_bn=True, is_linear=False):
         nn.ReLU(inplace=True) if not is_linear else nn.Sequential())
 
 
+class _ConvBN(nn.Module):
+    """Named conv+bn children — the reference's ``_conv_bn`` key layout
+    (``...conv.weight`` / ``...bn.*``, reference base_module.py:402-419),
+    NOT an indexed Sequential (a mismatch the r3 weight validator caught:
+    the converter saw zero branches against the real module)."""
+
+    def __init__(self, cin, cout, k, s, p, groups=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, p, groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.bn(self.conv(x))
+
+
 class MobileOneBlock(nn.Module):
     def __init__(self, cin, cout, k, stride=1, padding=0, groups=1,
                  is_linear=False):
@@ -37,15 +52,11 @@ class MobileOneBlock(nn.Module):
         self.rbr_skip = (nn.BatchNorm2d(cin)
                          if cout == cin and stride == 1 else None)
         self.rbr_conv = nn.ModuleList([
-            nn.Sequential(nn.Conv2d(cin, cout, k, stride, padding,
-                                    groups=groups, bias=False),
-                          nn.BatchNorm2d(cout))
+            _ConvBN(cin, cout, k, stride, padding, groups=groups)
             for _ in range(NB)])
         self.rbr_scale = None
         if k > 1:
-            self.rbr_scale = nn.Sequential(
-                nn.Conv2d(cin, cout, 1, stride, 0, groups=groups, bias=False),
-                nn.BatchNorm2d(cout))
+            self.rbr_scale = _ConvBN(cin, cout, 1, stride, 0, groups=groups)
 
     def forward(self, x):
         out = 0 if self.rbr_skip is None else self.rbr_skip(x)

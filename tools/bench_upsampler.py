@@ -28,7 +28,6 @@ Usage: python tools/bench_upsampler.py [--b 16] [--k 30]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -42,41 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fold_up_kernel(w3: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, I, O) -> (4, 4, I, O): kernel of the lhs-dilated conv that
-    equals conv3x3(nearest2x(x)). 1D fold [w0, w0+w1, w1+w2, w2] applied
-    along H then W (the 2x2-ones depthwise kernel of nearest duplication
-    convolved into the 3x3)."""
-    def fold(w, axis):
-        take = functools.partial(jax.lax.index_in_dim, w, axis=axis,
-                                 keepdims=True)
-        return jnp.concatenate(
-            [take(0), take(0) + take(1), take(1) + take(2), take(2)],
-            axis=axis)
-    return fold(fold(w3, 0), 1)
-
-
-def conv_q_up_dilated(pq, x):
-    """int8 upsampler conv via lhs_dilation — drop-in for
-    conv_q(pq, upsample_nearest2x(x)). ``pq`` must carry the folded
-    kernel as ``wq4``/``ws4`` (see quantize_up_dilated)."""
-    sx = pq["as"]
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
-                  ).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        xq, pq["wq4"], (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (sx * pq["ws4"]) + pq["b"]
-    return y.astype(x.dtype)
-
-
-def quantize_up_dilated(w3_f32: jnp.ndarray, b):
-    k4 = fold_up_kernel(w3_f32)
-    scale = jnp.maximum(jnp.max(jnp.abs(k4), axis=(0, 1, 2)), 1e-8) / 127.0
-    wq4 = jnp.clip(jnp.round(k4 / scale[None, None, None, :]),
-                   -127, 127).astype(jnp.int8)
-    return {"wq4": wq4, "ws4": scale, "b": jnp.asarray(b, jnp.float32)}
+from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
+    conv_q_up, fold_up_kernel, quantize_conv_up)
 
 
 def main():
@@ -89,7 +55,7 @@ def main():
     args = ap.parse_args()
 
     from livetalking_tpu.models.diffusion_blocks import (
-        conv_q, quantize_conv, upsample_nearest2x)
+        conv_q, upsample_nearest2x)
 
     results = []
     for tok in args.shapes.split(","):
@@ -101,10 +67,8 @@ def main():
         w = jnp.asarray(rng.standard_normal((3, 3, ch, ch)).astype(np.float32)
                         * (0.3 / np.sqrt(9 * ch)))
         b = jnp.asarray(rng.standard_normal((ch,)).astype(np.float32) * 0.1)
-        pq = quantize_conv({"w": w, "b": b})
+        pq = quantize_conv_up({"w": w, "b": b})
         pq["as"] = jnp.asarray(0.02, jnp.float32)
-        pd = quantize_up_dilated(w, b)
-        pd["as"] = pq["as"]
 
         # --- exactness: dilated == upsample+conv in f32 (no quant noise)
         def f32_up(xx):
@@ -157,7 +121,7 @@ def main():
                "xla_up_ms": timeit(
                    lambda h: conv_q(pq, upsample_nearest2x(h)), "xla_up"),
                "dilated_ms": timeit(
-                   lambda h: conv_q_up_dilated(pd, h), "dilated")}
+                   lambda h: conv_q_up(pq, h), "dilated")}
 
         if not args.skip_pallas:
             from livetalking_tpu.ops.pallas_conv import (

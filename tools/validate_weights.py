@@ -63,6 +63,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+# the env var alone is not enough when a sitecustomize pins another
+# platform plugin (CLAUDE.md); parity validation is a CPU job
+jax.config.update("jax_platforms", "cpu")
 
 
 def _psnr(want: np.ndarray, got: np.ndarray) -> dict:
@@ -116,6 +121,13 @@ def _rand_init(m, seed=0, bn_stats=True):
                 if hasattr(mod, "running_mean") and mod.running_mean is not None:
                     mod.running_mean.normal_(0.0, 0.2, generator=g)
                     mod.running_var.uniform_(0.5, 1.5, generator=g)
+        # e.g. the reference's L2Norm builds its weight from an
+        # UNINITIALIZED torch.Tensor (0 * garbage-inf = NaN); real
+        # checkpoints overwrite it, a random self-test net must too
+        for p in m.parameters():
+            bad = ~torch.isfinite(p.data)
+            if bool(bad.any()):
+                p.data[bad] = torch.ones_like(p.data)[bad]
     return m
 
 
@@ -356,10 +368,10 @@ def validate_sd_vae(path, ref_root, tmp):
     img = rng.random((2, 64, 64, 3)).astype(np.float32)
     params = sd_vae.convert_torch_state_dict(sd, dtype=jnp.float32)
     with torch.no_grad():
-        want = net(torch.from_numpy(img.transpose(0, 3, 1, 2))
-                   ).numpy().transpose(0, 2, 3, 1)
+        x_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+        want = net.decode(net.encode_mean(x_t)).numpy().transpose(0, 2, 3, 1)
     lat = sd_vae.encode(params, jnp.asarray(img))
-    got = np.asarray(sd_vae.decode(params, lat))
+    got = np.asarray(sd_vae.decode(params, lat, dtype=jnp.float32))
     return {"torch_net": "diffusers AutoencoderKL recomposition "
                          "(tests/test_sd_converters.py; exact diffusers "
                          "key layout, ref avatars/musetalk/models/vae.py:24)",
