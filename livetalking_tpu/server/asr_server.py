@@ -247,7 +247,7 @@ async def asr_websocket_handler(request: web.Request) -> web.WebSocketResponse:
                     chunks = 0
                     logger.info("[ASR] recording started (mode=%s itn=%s)",
                                 config.get("mode", "offline"),
-                                config.get("itn", False))
+                                config.get("itn", True))
 
                 elif data.get("is_speaking") is False:
                     nbytes = len(audio_buffer)

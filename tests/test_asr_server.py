@@ -92,7 +92,10 @@ def _ws_roundtrip(url, pcm_bytes, config=None, n_chunks=4):
 def test_protocol_roundtrip(asr_server_url, fake_backend):
     pcm = (np.sin(np.arange(16000) * 0.05) * 20000).astype(np.int16)
     reply = _ws_roundtrip(asr_server_url, pcm.tobytes())
-    assert reply == {"text": "hello world", "mode": "2pass-offline",
+    # transcript post-pass capitalizes + punctuates unconditionally, like
+    # the reference's SenseVoice output (its itn flag gates ONLY number
+    # rewriting, reference server/asr_server.py:70-116)
+    assert reply == {"text": "Hello world.", "mode": "2pass-offline",
                      "is_final": True, "timestamp": None}
     # int16 -> float32 conversion reached the backend with all samples
     assert fake_backend.calls[0][0] == 16000

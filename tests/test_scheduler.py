@@ -198,3 +198,57 @@ def test_error_propagates_to_future(store):
     with pytest.raises(RuntimeError, match="boom"):
         fut.result(timeout=10)
     s.stop()
+
+
+def test_hold_policy_aligns_staggered_sessions(store):
+    """Free-running closed-loop sessions that submit slightly staggered
+    must converge onto FULL super-batches: while a batch is in flight the
+    scheduler holds partial batches (the step duration is the alignment
+    window). The r3 8-session engine run measured mean batch size 2.67/8
+    under dispatch-on-arrival — this pins the fix."""
+    N = 4
+    params = {"gain": jnp.float32(0.0)}
+
+    def slow_factory(total):
+        @jax.jit
+        def step(p, buffer, idxs, mel):
+            return jnp.take(buffer, idxs, axis=0).astype(jnp.uint8)
+
+        def wrapped(p, buffer, idxs, mel):
+            time.sleep(0.05)  # stand-in for a long device step
+            return step(p, buffer, idxs, mel)
+        return wrapped
+
+    offs = []
+    for i in range(N):
+        off, _ = store.add(f"h{i}", np.zeros((6, S, S, 3), np.uint8))
+        offs.append(off)
+    sched = BatchScheduler(params, store, slow_factory, B, buckets=(1, 2, 4))
+    sched.start()
+    try:
+        stop = threading.Event()
+
+        def session(i):
+            idxs = (offs[i] + np.arange(B)).astype(np.int32)
+            mel = np.zeros((B, 4, 4), np.float32)
+            time.sleep(0.003 * i)  # initial stagger
+            while not stop.is_set():
+                sched.infer(idxs, mel)
+
+        threads = [threading.Thread(target=session, args=(i,), daemon=True)
+                   for i in range(N)]
+        for t in threads:
+            t.start()
+        time.sleep(2.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    finally:
+        sched.stop()
+    sizes = list(sched.batch_sizes)
+    assert len(sizes) >= 5, sizes
+    steady = sizes[2:]
+    # steady state must lock onto full batches (allow the odd partial
+    # from thread-scheduling noise)
+    full = sum(1 for s in steady if s == N)
+    assert full / len(steady) >= 0.8, sizes

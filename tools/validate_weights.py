@@ -292,9 +292,40 @@ def validate_whisper(path, ref_root, tmp):
         want = np.stack([h.numpy() for h in hs], axis=2)  # (B,T,L+1,D)
     params = we.convert_torch_state_dict(sd, we.TINY, dtype=jnp.float32)
     got = np.asarray(we.apply_stacked(params, we.TINY, jnp.asarray(mel)))
-    return {"torch_net": "transformers.WhisperModel encoder (whisper-tiny "
-                         "geometry; the module real checkpoints load into)",
-            **_psnr(want, got)}
+    enc_res = _psnr(want, got)
+
+    # decoder: KV-cached step-by-step logits vs the HF decoder run on the
+    # full token sequence (tied-embedding LM head, as whisper ships)
+    from livetalking_tpu.models import whisper_decoder as wd
+
+    dcfg = wd.TINY_DECODER
+    tokens = np.array([[dcfg.sot, dcfg.lang_en, dcfg.task_transcribe,
+                        dcfg.no_timestamps, 440, 991, 3500]], np.int64)
+    with torch.no_grad():
+        enc_t = hs[-1]
+        dh = net.decoder(input_ids=torch.from_numpy(tokens),
+                         encoder_hidden_states=enc_t).last_hidden_state
+        want_logits = (dh @ net.decoder.embed_tokens.weight.T).numpy()
+    pd = wd.convert_torch_state_dict(sd, dcfg, dtype=jnp.float32)
+    B, T = tokens.shape
+    H, hdim = dcfg.num_heads, dcfg.d_model // dcfg.num_heads
+    cross_kv = wd.precompute_cross_kv(pd, dcfg, jnp.asarray(got[..., -1, :]))
+    caches = [(jnp.zeros((B, H, T, hdim), jnp.float32),
+               jnp.zeros((B, H, T, hdim), jnp.float32))
+              for _ in range(dcfg.num_layers)]
+    step_logits = []
+    for t in range(T):
+        lg, caches = wd.decode_step(
+            pd, dcfg, jnp.asarray(tokens[:, t].astype(np.int32)),
+            jnp.int32(t), caches, cross_kv)
+        step_logits.append(np.asarray(lg))
+    dec_res = _psnr(want_logits, np.stack(step_logits, axis=1))
+    return {"torch_net": "transformers.WhisperModel encoder+decoder "
+                         "(whisper-tiny geometry; the module real "
+                         "checkpoints load into)",
+            **enc_res,
+            "decoder_psnr_db": dec_res["psnr_db"],
+            "decoder_max_abs_err": dec_res["max_abs_err"]}
 
 
 def _sd_recompositions():
@@ -418,7 +449,9 @@ def main():
                                            "oracle saved to disk, then the "
                                            "identical load->convert->compare "
                                            "path a real file takes")
-                r["status"] = "ok" if r["psnr_db"] > 40.0 else "MISMATCH"
+                r["status"] = ("ok" if r["psnr_db"] > 40.0
+                               and r.get("decoder_psnr_db", 99.0) > 40.0
+                               else "MISMATCH")
             except Exception as e:  # noqa: BLE001
                 traceback.print_exc()
                 r = {"status": "error", "error": f"{type(e).__name__}: {e}",
