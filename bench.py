@@ -316,6 +316,13 @@ def main() -> None:
     _forward_subprocess([sys.executable, os.path.join(here, "bench_serving.py"),
                          "--secs", "15"], 1800,
                         "musetalk_serving_finalfps_per_session")
+    # true egress finalfps: N real engine sessions, device paste composed
+    # into the coalesced super-batch, frames counted at transport egress
+    # (compose INCLUDED — the reference metric, reference
+    # server/webrtc.py:149); slowest metric (bucket-ladder compiles)
+    _forward_subprocess([sys.executable, os.path.join(here, "bench_serving.py"),
+                         "--engine", "--secs", "45"], 2700,
+                        "musetalk_engine_egress_finalfps_per_session")
 
 
 if __name__ == "__main__":

@@ -397,6 +397,35 @@ def _engine_serving(args) -> dict:
     sched = plugin._shared["scheduler"]
     assert sessions[0]._scheduler_composes, "device paste not composed"
 
+    psnr_int8_vs_bf16 = None
+    if use_int8 and args.calibrated:
+        # VERDICT r2 item 6: pair the measured speed with the SAME
+        # config's quality — calibrated int8 step vs the bf16 step on
+        # one identical batch (session init above ran the real
+        # calibration into model[*_params_q])
+        import jax.numpy as jnp
+
+        from livetalking_tpu.models import musetalk as mt
+
+        cfg = model["unet_cfg"]
+        rngq = np.random.default_rng(3)
+        wctx = jnp.asarray(rngq.standard_normal(
+            (B, 50, model["whisper_cfg"].d_model)).astype(np.float32))
+        idxs = jnp.arange(B, dtype=jnp.int32) % 4
+        cycle = jnp.asarray(rngq.standard_normal(
+            (4, 32, 32, 8)).astype(np.float32) * 0.2)
+        f_bf16 = mt.make_infer_fn(cfg, B, dtype=jnp.bfloat16)
+        f_int8 = mt.make_infer_fn(cfg, B, dtype=jnp.bfloat16,
+                                  vae_int8=True, unet_int8=True)
+        a = np.asarray(f_bf16(model["unet_params"], model["vae_params"],
+                              cycle, idxs, wctx)).astype(np.float64)
+        bq = np.asarray(f_int8(model["unet_params_q"], model["vae_params_q"],
+                               cycle, idxs, wctx)).astype(np.float64)
+        rmse = float(np.sqrt(np.mean((a - bq) ** 2)))
+        psnr_int8_vs_bf16 = round(20 * np.log10(255.0 / max(rmse, 1e-9)), 2)
+        print(f"# calibrated int8 vs bf16 PSNR on one batch: "
+              f"{psnr_int8_vs_bf16} dB", flush=True)
+
     quits = [Event() for _ in sessions]
     render_threads = [Thread(target=s.render, args=(q,), daemon=True)
                       for s, q in zip(sessions, quits)]
@@ -487,6 +516,7 @@ def _engine_serving(args) -> dict:
         "batch": B,
         "int8": use_int8,
         "int8_calibrated": bool(args.calibrated and use_int8),
+        "int8_vs_bf16_psnr_db": psnr_int8_vs_bf16,
         "fused_vae": bool(args.fused_vae),
         "device_paste_back": True,
         "coalesce": True,
