@@ -60,6 +60,11 @@ def main() -> dict:
                          "k+1 runs on device; 1 = the old serialized "
                          "drive that idles the device for the D2H RTT + "
                          "host scatter between rounds)")
+    ap.add_argument("--session_inflight", type=int, default=2,
+                    help="engine mode: per-session batches kept in "
+                         "flight (config --session_inflight); 1 = the "
+                         "synchronous loop (latency-bound, measured 18.9 "
+                         "fps/session at 8 sessions)")
     ap.add_argument("--engine", action="store_true",
                     help="drive the REAL engine end to end: N MuseReal "
                          "sessions with render/inference/compose threads, "
@@ -359,6 +364,7 @@ def _engine_serving(args) -> dict:
         whisper_short_window=bool(args.whisper_short),
         coalesce_buckets=",".join(str(b) for b in buckets),
         d2h_subsample=max(1, args.d2h_subsample),
+        session_inflight=max(1, args.session_inflight),
         musetalk_size="tiny" if args.tiny else "full",
     )
     print(f"# engine serving: N={N} B={B} int8={use_int8} "
@@ -519,6 +525,7 @@ def _engine_serving(args) -> dict:
         "int8_vs_bf16_psnr_db": psnr_int8_vs_bf16,
         "fused_vae": bool(args.fused_vae),
         "device_paste_back": True,
+        "session_inflight": max(1, args.session_inflight),
         "coalesce": True,
         "frame_hw": [args.frame_h, args.frame_w],
         "d2h_subsample": base["d2h_subsample"],

@@ -29,6 +29,7 @@ import os
 import queue
 import subprocess
 import time
+from collections import deque
 from importlib import import_module
 from queue import Queue
 from threading import Event, Lock, Thread
@@ -321,23 +322,90 @@ class BaseAvatar:
         (B, S, S, 3) uint8 mouth-region frames. Implemented by plugins."""
         raise NotImplementedError
 
+    def submit_batch(self, index: int, audiofeat_batch):
+        """Asynchronously submit one batch; returns an opaque handle for
+        ``resolve_batch``. Default: run ``inference_batch`` synchronously
+        and hand back the finished frames (depth-1 pipeline). Plugins
+        backed by the shared BatchScheduler override this pair so the
+        session can keep ``--session_inflight`` batches in flight:
+        measured 8-session engine egress was latency-bound at 18.9
+        fps/session with the synchronous loop (request latency p50
+        823 ms > the 640 ms per-batch budget ⇒ session period = latency,
+        SERVING_r03_engine8.json) while the device itself sustains
+        ≥25/session."""
+        return self.inference_batch(index, audiofeat_batch)
+
+    def resolve_batch(self, handle) -> np.ndarray:
+        """Block until a ``submit_batch`` handle's frames are ready."""
+        return handle
+
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
         """Composite one predicted crop back into full frame ``idx``."""
         raise NotImplementedError
 
     def inference(self, quit_event) -> None:
-        """Inference thread: consume feature batches, run the device step
-        (or skip it entirely on all-silence), emit per-frame results."""
+        """Inference thread: consume feature batches, submit the device
+        step (or skip it entirely on all-silence), emit per-frame results.
+
+        Up to ``--session_inflight`` submitted batches ride in flight;
+        results are emitted strictly in submission order with their own
+        audio frames, so A/V pairing is unchanged — the pipeline only
+        decouples the session's emission period from the per-request
+        round-trip latency (glass-to-glass latency grows by at most
+        inflight-1 batches)."""
         length = self.get_avatar_length()
         index = 0
         count = 0
         counttime = 0.0
         last_speaking = False
-        logger.info("start inference")
+        depth = max(1, int(getattr(self.opt, "session_inflight", 2) or 1))
+        # (handle | None, audio_frames, base_index, submit_seconds)
+        pending: "deque" = deque()
+        logger.info("start inference (inflight=%d)", depth)
+
+        def emit_one() -> None:
+            nonlocal count, counttime
+            handle, afr, base_idx, dt = pending.popleft()
+            pred = None
+            if handle is not None:
+                t0 = time.perf_counter()
+                try:
+                    pred = self.resolve_batch(handle)
+                except Exception:
+                    # a failed device step (wedged scheduler, dead tunnel,
+                    # bounded-wait timeout) must not kill the inference
+                    # thread: degrade this batch to idle frames and keep
+                    # the session alive (reference degradation model, cf.
+                    # its paste-back skip / silence synthesis)
+                    logger.exception(
+                        "inference_batch failed: idle frames for this batch")
+                    pred = None
+                dt += time.perf_counter() - t0
+            if pred is None:
+                for i in range(self.batch_size):
+                    idx = mirror_index(length, base_idx + i)
+                    self.res_frame_queue.put((None, afr[i * 2 : i * 2 + 2], idx))
+            else:
+                # inferfps counts time BLOCKED on the device (submit +
+                # resolve wait); with the synchronous default that is the
+                # whole step, matching the reference's per-batch timing
+                counttime += dt
+                count += self.batch_size
+                if count >= 100:
+                    logger.info(f"------actual avg infer fps:{count / counttime:.4f}")
+                    count = 0
+                    counttime = 0.0
+                for i in range(len(pred)):
+                    self.res_frame_queue.put(
+                        (pred[i], afr[i * 2 : i * 2 + 2], mirror_index(length, base_idx + i))
+                    )
+
         while not quit_event.is_set():
             try:
                 audiofeat_batch = self.asr.feat_queue.get(block=True, timeout=1)
             except queue.Empty:
+                while pending:  # starved: flush in-flight results
+                    emit_one()
                 continue
 
             audio_frames: List[AudioFrameData] = []
@@ -350,43 +418,23 @@ class BaseAvatar:
 
             current_speaking = not is_all_silence
             if is_all_silence:
-                for i in range(self.batch_size):
-                    idx = mirror_index(length, index)
-                    self.res_frame_queue.put((None, audio_frames[i * 2 : i * 2 + 2], idx))
-                    index += 1
+                pending.append((None, audio_frames, index, 0.0))
+                index += self.batch_size
             else:
                 if current_speaking and not last_speaking and self.custom_index.get(1) is not None:
                     index = 0  # silence->speech with a custom idle video: restart cycle
                 t = time.perf_counter()
                 try:
-                    pred = self.inference_batch(index, audiofeat_batch)
+                    handle = self.submit_batch(index, audiofeat_batch)
                 except Exception:
-                    # a failed device step (wedged scheduler, dead tunnel,
-                    # bounded-wait timeout) must not kill the inference
-                    # thread: degrade this batch to idle frames and keep
-                    # the session alive (reference degradation model, cf.
-                    # its paste-back skip / silence synthesis)
                     logger.exception(
-                        "inference_batch failed: idle frames for this batch")
-                    pred = None
-                if pred is None:
-                    for i in range(self.batch_size):
-                        idx = mirror_index(length, index)
-                        self.res_frame_queue.put(
-                            (None, audio_frames[i * 2 : i * 2 + 2], idx))
-                        index += 1
-                else:
-                    counttime += time.perf_counter() - t
-                    count += self.batch_size
-                    if count >= 100:
-                        logger.info(f"------actual avg infer fps:{count / counttime:.4f}")
-                        count = 0
-                        counttime = 0.0
-                    for i in range(len(pred)):
-                        self.res_frame_queue.put(
-                            (pred[i], audio_frames[i * 2 : i * 2 + 2], mirror_index(length, index))
-                        )
-                        index += 1
+                        "inference submit failed: idle frames for this batch")
+                    handle = None
+                pending.append((handle, audio_frames, index,
+                                time.perf_counter() - t))
+                index += self.batch_size
+            while len(pending) >= depth:
+                emit_one()
 
             if current_speaking != last_speaking:
                 logger.info(
@@ -395,6 +443,8 @@ class BaseAvatar:
                     "speaking" if current_speaking else "silence",
                 )
                 last_speaking = current_speaking
+        while pending:
+            emit_one()
         logger.info("baseavatar inference thread stop")
 
     def process_frames(self, quit_event) -> None:

@@ -496,6 +496,24 @@ class MuseReal(BaseAvatar):
         )
         self.asr.warm_up()
 
+    def submit_batch(self, index: int, audiofeat_batch):
+        """Pipelined submission into the shared scheduler: the session
+        keeps --session_inflight super-batch requests in flight so its
+        emission period tracks the device step rate instead of the
+        per-request round-trip latency (base_avatar.inference drains the
+        handles in order). Non-coalesced sessions fall back to the
+        synchronous default."""
+        if self._scheduler is None:
+            return self.inference_batch(index, audiofeat_batch)
+        host_idxs = mirror_indices(self._n_frames, index, self.batch_size)
+        return self._scheduler.submit(host_idxs + self._store_offset,
+                                      audiofeat_batch)
+
+    def resolve_batch(self, handle) -> np.ndarray:
+        if isinstance(handle, np.ndarray):
+            return handle
+        return self._scheduler.wait(handle)
+
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
         host_idxs = mirror_indices(self._n_frames, index, self.batch_size)
         if self._scheduler is not None:

@@ -174,6 +174,20 @@ class LipReal(BaseAvatar):
         self.asr = MelFeatures(opt, self)
         self.asr.warm_up()
 
+    def submit_batch(self, index: int, audiofeat_batch):
+        """Pipelined submission into the shared scheduler (see
+        musetalk_avatar.submit_batch); sync fallback when not coalesced."""
+        if self._scheduler is None:
+            return self.inference_batch(index, audiofeat_batch)
+        idxs = mirror_indices(self._n_faces, index, self.batch_size)
+        return self._scheduler.submit(idxs + self._store_offset,
+                                      audiofeat_batch)
+
+    def resolve_batch(self, handle) -> np.ndarray:
+        if isinstance(handle, np.ndarray):
+            return handle
+        return self._scheduler.wait(handle)
+
     def inference_batch(self, index: int, audiofeat_batch) -> np.ndarray:
         idxs = mirror_indices(self._n_faces, index, self.batch_size)
         if self._scheduler is not None:

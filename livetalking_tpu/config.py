@@ -70,6 +70,14 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
     add("--coalesce_buckets", type=str, default="1,2,4,8",
         help="session-count bucket sizes compiled for the coalescing "
              "scheduler (padding absorbs counts in between)")
+    add("--session_inflight", type=int, default=2,
+        help="per-session inference batches kept in flight (>=1). With "
+             "the shared scheduler a synchronous loop is latency-bound "
+             "(session period = request round-trip, measured 18.9 "
+             "fps/session at 8 sessions vs the >=25 bar); depth 2 "
+             "decouples emission rate from latency at the cost of one "
+             "extra batch (~640 ms) of glass-to-glass latency. Depth 1 "
+             "restores the synchronous reference behavior")
     add("--vae_int8", action="store_true", default=False,
         help="musetalk: run the VAE decoder with calibrated W8A8 int8 "
              "convs (sd_vae.decode_int8; with the channel-moment "

@@ -180,15 +180,13 @@ class BatchScheduler:
         self._queue.put(_Request(np.asarray(global_idxs, np.int32), mel, fut))
         return fut
 
-    def infer(self, global_idxs: np.ndarray, mel,
-              timeout: float = 120.0) -> np.ndarray:
-        """Bounded wait: a wedged device (dead tunnel, hung remote
-        compile) must surface as an error in the session's inference
-        thread, not a silent permanent hang — but a legitimate
-        first-contact compile of a cold bucket (minutes) must NOT trip
-        the bound, so the wait extends to the worker's compile-grace
-        deadline while one is active."""
-        fut = self.submit(global_idxs, mel)
+    def wait(self, fut: Future, timeout: float = 120.0) -> np.ndarray:
+        """Bounded wait on a submitted request: a wedged device (dead
+        tunnel, hung remote compile) must surface as an error in the
+        session's inference thread, not a silent permanent hang — but a
+        legitimate first-contact compile of a cold bucket (minutes) must
+        NOT trip the bound, so the wait extends to the worker's
+        compile-grace deadline while one is active."""
         deadline = time.monotonic() + timeout
         while True:
             try:
@@ -197,6 +195,11 @@ class BatchScheduler:
                 if time.monotonic() < max(deadline, self._grace_deadline):
                     continue
                 raise
+
+    def infer(self, global_idxs: np.ndarray, mel,
+              timeout: float = 120.0) -> np.ndarray:
+        """submit + grace-aware wait (synchronous convenience)."""
+        return self.wait(self.submit(global_idxs, mel), timeout)
 
     # -- worker -----------------------------------------------------------
     def start(self) -> None:
