@@ -65,6 +65,10 @@ def main() -> dict:
                          "flight (config --session_inflight); 1 = the "
                          "synchronous loop (latency-bound, measured 18.9 "
                          "fps/session at 8 sessions)")
+    ap.add_argument("--max_bucket", type=int, default=8,
+                    help="engine mode: largest coalescing bucket (the "
+                         "bucket-16 super-batch OOMs v5e HBM at 480x640 "
+                         "with device paste-back; default 8)")
     ap.add_argument("--engine", action="store_true",
                     help="drive the REAL engine end to end: N MuseReal "
                          "sessions with render/inference/compose threads, "
@@ -355,7 +359,12 @@ def _engine_serving(args) -> dict:
 
     N, B = args.sessions, args.batch
     use_int8 = not args.no_int8
-    buckets = sorted({b for b in (1, 2, 4, 8, N) if b <= N})
+    # cap the largest super-batch at 8 sessions: the bucket-16 program
+    # (256 frames, full U-Net+VAE+device paste at 480x640) exceeds v5e
+    # HBM — measured "Used 16.03G of 15.75G hbm" compile OOM — so >8
+    # sessions ride multiple in-flight 8-buckets instead
+    cap = max(1, int(args.max_bucket))
+    buckets = sorted({b for b in (1, 2, 4, 8, N) if b <= min(N, cap)})
     tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
     base = dict(
         transport="queue", tts="dummy", batch_size=B, model="musetalk",

@@ -130,27 +130,32 @@ def transformer_2d_q(p, x, ctx, heads):
 # --- chained-loop timing -------------------------------------------------
 
 def timed(fn, x0, k1=20, k2=60, reps=2):
-    """fps-free ms/iter from the two-K fori_loop difference."""
-    def loop(k, x):
-        def body(_, c):
-            y = fn(c)
-            # keep shapes closed: renormalize into the input's scale
-            return (y * 0.999).astype(c.dtype)
-        return jax.lax.fori_loop(0, k, body, x)
+    """ms/iter via the PYTHON-side chained two-K difference (device
+    carry, one data-dependent fetch at the end). The graphs here include
+    the Pallas VMEM attention kernel at T=1024, and wrapping Pallas
+    bodies in ``lax.fori_loop`` kills the tunnel's remote compiler
+    (CLAUDE.md); the python-side chain is validated within 2% of the
+    fori methodology."""
+    @jax.jit
+    def step(x):
+        # keep shapes closed: renormalize into the input's scale
+        return (fn(x) * 0.999).astype(x.dtype)
 
-    j1 = jax.jit(lambda x: loop(k1, x))
-    j2 = jax.jit(lambda x: loop(k2, x))
-    np.asarray(j1(x0))  # compile+run
-    np.asarray(j2(x0))
-    best = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(j1(x0))
-        t1 = time.perf_counter()
-        np.asarray(j2(x0))
-        t2 = time.perf_counter()
-        best.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
-    return min(best)
+    x0 = step(x0)  # compile + warm
+    np.asarray(x0)
+
+    def run(k):
+        best = float("inf")
+        for _ in range(reps):
+            cur = x0
+            t0 = time.perf_counter()
+            for _i in range(k):
+                cur = step(cur)
+            np.asarray(jnp.sum(cur, dtype=jnp.float32))  # one fetch
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(k2) - run(k1)) / (k2 - k1) * 1e3
 
 
 def main():
