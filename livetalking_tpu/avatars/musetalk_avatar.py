@@ -283,7 +283,12 @@ def _with_dummy_scales(tree):
     calibrated params will run; calibrated trees swap in compile-free."""
     if isinstance(tree, dict):
         out = {k: _with_dummy_scales(v) for k, v in tree.items()}
-        if "wq" in out:
+        if "wq" in out and out["wq"].ndim == 4:
+            # conv sites only: calibration assigns static scales there.
+            # Linear sites (2-D wq, quantize_transformer) always run
+            # dynamic activation scales — giving them a dummy "as" would
+            # compile a static-scale program the calibrated tree never
+            # runs, forcing a recompile at swap.
             out["as"] = jnp.asarray(1.0, jnp.float32)
         return out
     if isinstance(tree, list):
@@ -298,17 +303,20 @@ def warm_up(batch_size: int, model: Dict[str, Any], modelres: int = 256,
     the flags are on — otherwise the first utterance pays the compile."""
     vae_int8 = bool(getattr(opt, "vae_int8", False))
     unet_int8 = bool(getattr(opt, "unet_int8", False))
-    logger.info("warmup musetalk model... (vae_int8=%s unet_int8=%s)",
-                vae_int8, unet_int8)
+    attn_int8 = bool(getattr(opt, "attn_int8", True))
+    mid_int8 = bool(getattr(opt, "vae_mid_int8", True))
+    logger.info("warmup musetalk model... (vae_int8=%s unet_int8=%s "
+                "attn_int8=%s vae_mid_int8=%s)",
+                vae_int8, unet_int8, attn_int8, mid_int8)
     step = mt.make_infer_fn(model["unet_cfg"], batch_size,
                             dtype=model["dtype"], vae_int8=vae_int8,
                             unet_int8=unet_int8)
     up = model["unet_params"]
     vp = model["vae_params"]
     if unet_int8:
-        up = _with_dummy_scales(sd_unet.quantize_unet(up))
+        up = _with_dummy_scales(sd_unet.quantize_unet(up, attn_int8=attn_int8))
     if vae_int8:
-        vp = _with_dummy_scales(sd_vae.quantize_decoder(vp))
+        vp = _with_dummy_scales(sd_vae.quantize_decoder(vp, mid_int8=mid_int8))
     cycle = jnp.zeros((1, 32, 32, 8), jnp.float32)
     idxs = jnp.zeros((batch_size,), jnp.int32)
     whisper = jnp.zeros((batch_size, 50, model["unet_cfg"].cross_dim),
@@ -350,7 +358,9 @@ class MuseReal(BaseAvatar):
                 # device-native (jnp) quantize: weights never leave the
                 # chip; eager per-conv ops reuse tiny cached kernels (a
                 # whole-tree jit would mean one huge remote compile)
-                q = sd_vae.quantize_decoder(model["vae_params"])
+                q = sd_vae.quantize_decoder(
+                    model["vae_params"],
+                    mid_int8=bool(getattr(opt, "vae_mid_int8", True)))
                 # calibrate on the reference-face latent channels ([4:] of
                 # cat(masked, ref)) - the decode-time distribution
                 zc = jnp.asarray(self.latent_cycle_device[:4, :, :, 4:])
@@ -364,7 +374,9 @@ class MuseReal(BaseAvatar):
         if use_unet_int8:
             if "unet_params_q" not in model:  # shared across sessions
                 # device-native (jnp) quantize, eager (see VAE note)
-                q = sd_unet.quantize_unet(model["unet_params"])
+                q = sd_unet.quantize_unet(
+                    model["unet_params"],
+                    attn_int8=bool(getattr(opt, "attn_int8", True)))
                 # calibrate on real avatar input latents + a whisper
                 # context with REAL encoder statistics: encode 1 s of
                 # noise through the model's own whisper encoder and take

@@ -85,8 +85,16 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
              "B=16 on v5e; small quantization error)")
     add("--unet_int8", action="store_true", default=False,
         help="musetalk: run the latent U-Net convs W8A8 int8 "
-             "(sd_unet.apply_int8; attention stays bf16; small "
-             "quantization error)")
+             "(sd_unet.apply_int8; small quantization error)")
+    add("--attn_int8", type=int, default=1,
+        help="musetalk --unet_int8: also quantize the U-Net transformer "
+             "matmuls except q/k and cross-attn k/v (softmax scores stay "
+             "exact; diffusion_blocks.quantize_transformer). 0 keeps the "
+             "transformer blocks bf16")
+    add("--vae_mid_int8", type=int, default=1,
+        help="musetalk --vae_int8: also quantize the VAE decoder "
+             "mid-block resnets (the mid attention and the tiny "
+             "latent-side convs stay bf16). 0 keeps the mid block bf16")
     add("--whisper_short_window", action="store_true", default=False,
         help="musetalk: encode whisper features over the actual rolling "
              "window instead of the 30 s zero-padded chunk (~20x fewer "

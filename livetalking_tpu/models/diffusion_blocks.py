@@ -115,6 +115,13 @@ def spatial_attention(p: Params, x: jnp.ndarray, heads: int = 1, eps: float = 1e
     return x + linear(p["o"], o).reshape(B, H, W, C)
 
 
+def _lin(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-site linear dispatch: int8 W8A8 when the tree holds quantized
+    weights (see quantize_transformer), model-dtype otherwise. Trace-time
+    branch — zero runtime cost, one program either way."""
+    return linear_q(p, x) if "wq" in p else linear(p, x)
+
+
 def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int) -> jnp.ndarray:
     """BasicTransformerBlock attention (to_q/k/v without bias, to_out with).
     x (B, T, C); ctx (B, S, D) for cross-attention, else self. Self-
@@ -124,9 +131,9 @@ def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int)
 
     B, T, C = x.shape
     kv_src = x if ctx is None else ctx
-    q = linear(p["q"], x)
-    k = linear(p["k"], kv_src)
-    v = linear(p["v"], kv_src)
+    q = _lin(p["q"], x)
+    k = _lin(p["k"], kv_src)
+    v = _lin(p["v"], kv_src)
     hd = C // heads
 
     def split(t):
@@ -135,7 +142,7 @@ def attention(p: Params, x: jnp.ndarray, ctx: Optional[jnp.ndarray], heads: int)
     core = vmem_attention if ctx is None else attention_xla
     o = core(split(q), split(k), split(v), hd ** -0.5)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, C)
-    return linear(p["o"], o)
+    return _lin(p["o"], o)
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -148,10 +155,10 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 def geglu_ff(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """diffusers FeedForward with GEGLU: proj to 2*inner, x * gelu(gate)."""
-    h = linear(p["proj"], x)
+    h = _lin(p["proj"], x)
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(a.dtype)
-    return linear(p["out"], h)
+    return _lin(p["out"], h)
 
 
 def transformer_2d(p: Params, x: jnp.ndarray, ctx: jnp.ndarray, heads: int) -> jnp.ndarray:
@@ -159,15 +166,25 @@ def transformer_2d(p: Params, x: jnp.ndarray, ctx: jnp.ndarray, heads: int) -> j
     projections (SD1.x use_linear_projection=False)."""
     B, H, W, C = x.shape
     res = x
+
     h = group_norm(p["norm"], x, eps=1e-6)
-    h = conv(p["proj_in"], h, padding=0).reshape(B, H * W, C)
+    # quantize_transformer stores the 1x1 proj convs as int8 LINEARS
+    # (identical GEMM, and the 2-D wq keeps them on dynamic activation
+    # scales like every other linear site)
+    if "wq" in p["proj_in"]:
+        h = linear_q(p["proj_in"], h.reshape(B, H * W, C))
+    else:
+        h = conv(p["proj_in"], h, padding=0).reshape(B, H * W, C)
 
     tb = p["block"]
     h = h + attention(tb["attn1"], layer_norm(tb["norm1"], h), None, heads)
     h = h + attention(tb["attn2"], layer_norm(tb["norm2"], h), ctx, heads)
     h = h + geglu_ff(tb["ff"], layer_norm(tb["norm3"], h))
 
-    h = conv(p["proj_out"], h.reshape(B, H, W, C), padding=0)
+    if "wq" in p["proj_out"]:
+        h = linear_q(p["proj_out"], h).reshape(B, H, W, C)
+    else:
+        h = conv(p["proj_out"], h.reshape(B, H, W, C), padding=0)
     return h + res
 
 
@@ -227,6 +244,70 @@ def conv_q(pq: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1,
     if residual is not None:
         y = y + residual.astype(y.dtype)
     return y
+
+
+def quantize_linear(p: Params) -> Params:
+    """Per-output-channel symmetric int8 weight quantization for a linear
+    site. The 2-D ``wq`` distinguishes linear from conv sites so the
+    dummy-scale warm-up helper leaves linears on dynamic activation
+    scales (matching the calibrated tree's program shape)."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"wq": wq, "ws": scale,
+            "b": None if p.get("b") is None
+            else jnp.asarray(p["b"], jnp.float32)}
+
+
+def linear_q(pq: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 linear; int32 MXU accumulate, f32 dequant + bias. Activation
+    scale is dynamic per-tensor (one abs-max reduce that XLA fuses with
+    the producing layernorm pass) unless a calibrated static ``as`` is
+    present — dynamic needs no calibration sites and is never less
+    accurate than a static scale."""
+    sx = pq.get("as")
+    if sx is None:
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    y = jnp.dot(xq, pq["wq"], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * pq["ws"])
+    if pq.get("b") is not None:
+        y = y + pq["b"]
+    return y.astype(x.dtype)
+
+
+def quantize_transformer(p: Params) -> Params:
+    """int8 weights for the softmax-SAFE transformer matmuls: the
+    proj_in/proj_out 1x1 convs, self-attention v/o, cross-attention o,
+    and the GEGLU feed-forward pair. q/k stay model-dtype so attention
+    SCORES are exact, and cross-attention's k/v stay model-dtype (their
+    kv source is the 50-token whisper context — negligible FLOPs, and
+    its statistics differ from the image stream). Measured on v5e B=16
+    (tools/bench_unet_attn.py): C=320 T=1024 1.04x, C=640 T=256 1.91x,
+    C=1280 T=64 1.38x per transformer block."""
+    def q_proj(cp):  # 1x1 conv -> int8 linear (same GEMM, 2-D wq)
+        return quantize_linear({"w": jnp.asarray(cp["w"])[0, 0],
+                                "b": cp.get("b")})
+
+    tb = p["block"]
+    return {
+        "norm": p["norm"],
+        "proj_in": q_proj(p["proj_in"]),
+        "proj_out": q_proj(p["proj_out"]),
+        "block": {
+            "norm1": tb["norm1"],
+            "attn1": {"q": tb["attn1"]["q"], "k": tb["attn1"]["k"],
+                      "v": quantize_linear(tb["attn1"]["v"]),
+                      "o": quantize_linear(tb["attn1"]["o"])},
+            "norm2": tb["norm2"],
+            "attn2": {"q": tb["attn2"]["q"], "k": tb["attn2"]["k"],
+                      "v": tb["attn2"]["v"],
+                      "o": quantize_linear(tb["attn2"]["o"])},
+            "norm3": tb["norm3"],
+            "ff": {"proj": quantize_linear(tb["ff"]["proj"]),
+                   "out": quantize_linear(tb["ff"]["out"])},
+        },
+    }
 
 
 def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:

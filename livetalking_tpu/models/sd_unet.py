@@ -102,6 +102,7 @@ def apply(params: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray, ctx: 
 from livetalking_tpu.models.diffusion_blocks import (  # noqa: E402
     conv_q,
     quantize_conv,
+    quantize_transformer,
 )
 
 
@@ -116,10 +117,11 @@ def _q_resnet(rp: Params) -> Params:
     return out
 
 
-def _q_block(blk: Params) -> Params:
+def _q_block(blk: Params, attn_int8: bool) -> Params:
     b: Params = {"resnets": [_q_resnet(rp) for rp in blk["resnets"]]}
     if "attentions" in blk:
-        b["attentions"] = blk["attentions"]
+        b["attentions"] = ([quantize_transformer(a) for a in blk["attentions"]]
+                           if attn_int8 else blk["attentions"])
     if "down" in blk:
         b["down"] = quantize_conv(blk["down"])
     if "up" in blk:
@@ -127,17 +129,25 @@ def _q_block(blk: Params) -> Params:
     return b
 
 
-def quantize_unet(params: Params) -> Params:
-    """One-time conversion of the U-Net convs to int8 (norms, time
-    embedding, and transformer blocks stay model-dtype)."""
+def quantize_unet(params: Params, attn_int8: bool = True) -> Params:
+    """One-time conversion of the U-Net convs to int8 (norms and time
+    embedding stay model-dtype). ``attn_int8`` additionally quantizes
+    the softmax-safe transformer matmuls (diffusion_blocks
+    ``quantize_transformer`` — q/k and cross-attn k/v stay model-dtype;
+    linear activation scales are dynamic, so calibrate_unet needs no new
+    sites). Per-layer wins on v5e B=16 reach 1.91x (C=640 blocks,
+    tools/bench_unet_attn.py); at the FULL fused step the win is
+    ~1.5 ms together with mid_int8 (60.2 -> 58.7 ms,
+    tools/bench_int8_step_ab.py)."""
     return {
         "conv_in": quantize_conv(params["conv_in"]),
         "time1": params["time1"], "time2": params["time2"],
-        "down": [_q_block(b) for b in params["down"]],
+        "down": [_q_block(b, attn_int8) for b in params["down"]],
         "mid": {"r0": _q_resnet(params["mid"]["r0"]),
-                "attn": params["mid"]["attn"],
+                "attn": (quantize_transformer(params["mid"]["attn"])
+                         if attn_int8 else params["mid"]["attn"]),
                 "r1": _q_resnet(params["mid"]["r1"])},
-        "up": [_q_block(b) for b in params["up"]],
+        "up": [_q_block(b, attn_int8) for b in params["up"]],
         "norm_out": params["norm_out"],
         "conv_out": quantize_conv(params["conv_out"]),
     }

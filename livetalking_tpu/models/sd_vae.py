@@ -123,9 +123,13 @@ def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray
     return _conv_q(p["conv2"], a, residual=x)
 
 
-def quantize_decoder(params: Params) -> Params:
+def quantize_decoder(params: Params, mid_int8: bool = True) -> Params:
     """One-time conversion of the decoder convs to int8 (norms, attention,
-    and the tiny latent-side convs stay bf16/f32)."""
+    and the tiny latent-side convs stay bf16/f32). ``mid_int8``
+    additionally quantizes the two mid-block resnets (4x conv3x3
+    512->512 @ 32px — measured 39.5 -> 38.6 ms B=16 decode on v5e,
+    tools/bench_vae_mid.py); the mid ATTENTION and dec_conv_in (cin=4,
+    MXU-hostile) stay bf16 either way."""
     def q_resnet(rp):
         out = {"norm1": rp["norm1"], "norm2": rp["norm2"],
                "conv1": _quantize_conv(rp["conv1"]),
@@ -134,10 +138,14 @@ def quantize_decoder(params: Params) -> Params:
             out["conv_shortcut"] = _quantize_conv(rp["conv_shortcut"])
         return out
 
+    mid = params["dec_mid"]
+    if mid_int8:
+        mid = {"r0": q_resnet(mid["r0"]), "attn": mid["attn"],
+               "r1": q_resnet(mid["r1"])}
     q: Params = {
         "post_quant_conv": params["post_quant_conv"],
         "dec_conv_in": params["dec_conv_in"],
-        "dec_mid": params["dec_mid"],
+        "dec_mid": mid,
         "dec_norm_out": params["dec_norm_out"],
         "dec_conv_out": _quantize_conv(params["dec_conv_out"]),
         "dec_up": [],
@@ -150,12 +158,14 @@ def quantize_decoder(params: Params) -> Params:
     return q
 
 
-def _decode_scale_walk(params: Params, z: jnp.ndarray, headroom: float):
+def _decode_scale_walk(params: Params, z: jnp.ndarray, headroom: float,
+                       mid_int8: bool = False):
     """Full-precision decode traversal that emits one activation-scale
-    scalar per quantized conv site (resnet order conv1, conv2, shortcut;
-    then the block upsampler; dec_conv_out last). Pure graph — jitted by
-    calibrate_decoder so the whole calibration is ONE compiled program
-    and ONE host fetch instead of a blocking device sync per site."""
+    scalar per quantized conv site (mid resnets first when ``mid_int8``;
+    then resnet order conv1, conv2, shortcut; the block upsampler;
+    dec_conv_out last). Pure graph — jitted by calibrate_decoder so the
+    whole calibration is ONE compiled program and ONE host fetch instead
+    of a blocking device sync per site."""
     rec = []
 
     def sof(x):
@@ -174,12 +184,13 @@ def _decode_scale_walk(params: Params, z: jnp.ndarray, headroom: float):
             x = conv(rp["conv_shortcut"], x, padding=0)
         return x + h
 
+    mid_resnet = cal_resnet if mid_int8 else resnet_block
     zz = z / SCALING_FACTOR
     h = conv(params["post_quant_conv"], zz, padding=0)
     h = conv(params["dec_conv_in"], h)
-    h = resnet_block(params["dec_mid"]["r0"], h)
+    h = mid_resnet(params["dec_mid"]["r0"], h)
     h = spatial_attention(params["dec_mid"]["attn"], h)
-    h = resnet_block(params["dec_mid"]["r1"], h)
+    h = mid_resnet(params["dec_mid"]["r1"], h)
     for blk in params["dec_up"]:
         for rp in blk["resnets"]:
             h = cal_resnet(rp, h)
@@ -200,13 +211,20 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
     program + one fetch (the per-site-blocking eager walk took minutes
     behind a high-RTT device link and seconds of session-startup time
     on direct-attached chips)."""
-    walk = jax.jit(_decode_scale_walk, static_argnums=2)
-    scales = iter(jax.device_get(walk(params, z, headroom)))
+    mid_int8 = "wq" in params_q["dec_mid"]["r0"]["conv1"]
+    walk = jax.jit(_decode_scale_walk, static_argnums=(2, 3))
+    scales = iter(jax.device_get(walk(params, z, headroom, mid_int8)))
 
     def nxt():
         return jnp.asarray(float(next(scales)), jnp.float32)
 
     # assignment mirrors _decode_scale_walk's traversal order exactly
+    if mid_int8:
+        for rq in (params_q["dec_mid"]["r0"], params_q["dec_mid"]["r1"]):
+            rq["conv1"]["as"] = nxt()
+            rq["conv2"]["as"] = nxt()
+            if "conv_shortcut" in rq:
+                rq["conv_shortcut"]["as"] = nxt()
     for blk in params_q["dec_up"]:
         for rq in blk["resnets"]:
             rq["conv1"]["as"] = nxt()
@@ -418,9 +436,12 @@ def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
     z = (z / SCALING_FACTOR).astype(jnp.bfloat16)
     h = conv(params_q["post_quant_conv"], z, padding=0)
     h = conv(params_q["dec_conv_in"], h)
-    h = resnet_block(params_q["dec_mid"]["r0"], h)
-    h = spatial_attention(params_q["dec_mid"]["attn"], h)
-    h = resnet_block(params_q["dec_mid"]["r1"], h)
+    mid = params_q["dec_mid"]
+    mid_resnet = (_resnet_block_q if "wq" in mid["r0"]["conv1"]
+                  else resnet_block)
+    h = mid_resnet(mid["r0"], h)
+    h = spatial_attention(mid["attn"], h)
+    h = mid_resnet(mid["r1"], h)
     if (jax.default_backend() == "tpu"
             and os.environ.get("LT_FUSED_VAE", "0") == "1"
             and _fused_chain_fits(params_q, h.shape[1])):

@@ -280,6 +280,66 @@ def test_unet_int8_infer_fn_path():
     assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
 
 
+def test_linear_q_close_to_fp(rng):
+    """W8A8 linear (quantize_linear + linear_q, dynamic activation scale)
+    tracks the f32 linear within int8 tolerance."""
+    C, D = 48, 64
+    x = jnp.asarray(rng.standard_normal((2, 10, C)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.standard_normal((C, D)).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1)}
+    want = np.asarray(db.linear(p, x))
+    got = np.asarray(db.linear_q(db.quantize_linear(p), x))
+    ref = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.03 * max(ref, 1.0)
+
+
+def test_quantize_transformer_close_to_fp(rng):
+    """transformer_2d with a quantize_transformer tree (int8 v/o/ff/proj,
+    exact q/k scores) tracks the full-precision block within int8
+    tolerance, and the quantized tree keeps q/k (and cross k/v) fp."""
+    C, D, heads = 32, 24, 4
+    p = _r_transformer_params(rng, C, D)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)).astype(np.float32) * 0.5)
+    ctx = jnp.asarray(rng.standard_normal((2, 7, D)).astype(np.float32) * 0.5)
+    want = np.asarray(db.transformer_2d(p, x, ctx, heads))
+    q = db.quantize_transformer(p)
+    got = np.asarray(db.transformer_2d(q, x, ctx, heads))
+    assert "wq" not in q["block"]["attn1"]["q"]
+    assert "wq" not in q["block"]["attn2"]["k"]
+    assert "wq" in q["block"]["attn1"]["v"]
+    assert "wq" in q["proj_in"] and q["proj_in"]["wq"].ndim == 2
+    ref = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * max(ref, 1.0)
+
+
+def _r_transformer_params(rng, C, D):
+    def lin(cin, cout, bias=True):
+        return {"w": jnp.asarray(rng.standard_normal((cin, cout)).astype(np.float32) * 0.15),
+                "b": jnp.asarray(rng.standard_normal(cout).astype(np.float32) * 0.05)
+                if bias else None}
+
+    def cv(cin, cout):
+        return {"w": jnp.asarray(rng.standard_normal((1, 1, cin, cout)).astype(np.float32) * 0.15),
+                "b": jnp.asarray(rng.standard_normal(cout).astype(np.float32) * 0.05)}
+
+    def nrm(c):
+        return {"g": jnp.ones(c, jnp.float32), "b": jnp.zeros(c, jnp.float32)}
+
+    return {
+        "norm": nrm(C), "proj_in": cv(C, C), "proj_out": cv(C, C),
+        "block": {
+            "norm1": nrm(C),
+            "attn1": {"q": lin(C, C, False), "k": lin(C, C, False),
+                      "v": lin(C, C, False), "o": lin(C, C)},
+            "norm2": nrm(C),
+            "attn2": {"q": lin(C, C, False), "k": lin(D, C, False),
+                      "v": lin(D, C, False), "o": lin(C, C)},
+            "norm3": nrm(C),
+            "ff": {"proj": lin(C, 4 * C), "out": lin(2 * C, C)},
+        },
+    }
+
+
 def test_group_norm_no_nan_for_large_mean(rng):
     """One-pass variance cancellation (mean >> std) must not produce NaN
     through rsqrt (var is clamped at 0)."""

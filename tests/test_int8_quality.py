@@ -11,6 +11,7 @@ calibration, clip bug) fail loudly while numeric noise does not.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from livetalking_tpu.models import sd_unet, sd_vae
 
@@ -37,20 +38,24 @@ def test_vae_int8_decode_psnr_gate():
     assert psnr >= VAE_PSNR_BAR_DB, f"VAE int8 PSNR {psnr:.1f} dB"
 
 
-def test_unet_vae_int8_end_to_end_psnr_gate():
+@pytest.mark.parametrize("attn_int8,mid_int8", [(True, True), (False, False)])
+def test_unet_vae_int8_end_to_end_psnr_gate(attn_int8, mid_int8):
     """The full serving quantization (int8 U-Net latents -> int8 VAE
     decode) against the full-precision pipeline, compared in image
-    space — the quantity a viewer actually sees."""
+    space — the quantity a viewer actually sees. Parametrized over the
+    shipped default (transformer linears + VAE mid-block also int8) and
+    the conv-only fallback (--attn_int8 0 --vae_mid_int8 0)."""
     rng = np.random.default_rng(0)
     cfg = sd_unet.UNetConfig(block_out=(32, 64, 96, 96), heads=2)
     up = sd_unet.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     vp = sd_vae.init_params(jax.random.PRNGKey(3), dtype=jnp.float32)
-    vq = sd_vae.quantize_decoder(vp)
+    vq = sd_vae.quantize_decoder(vp, mid_int8=mid_int8)
 
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
     t = jnp.zeros((2,), jnp.float32)
     ctx = jnp.asarray(rng.standard_normal((2, 50, 384)).astype(np.float32))
-    uq = sd_unet.calibrate_unet(up, sd_unet.quantize_unet(up), cfg, x, t, ctx)
+    uq = sd_unet.calibrate_unet(
+        up, sd_unet.quantize_unet(up, attn_int8=attn_int8), cfg, x, t, ctx)
 
     lat_f = sd_unet.apply(up, cfg, x, t, ctx)
     vq = sd_vae.calibrate_decoder(vp, vq, lat_f)
