@@ -47,7 +47,8 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          unet_params, vae_params, vae_int8: bool,
                          unet_int8: bool, buckets=(1, 2, 4, 8),
                          paste_spec: Dict[str, int] = None,
-                         d2h_subsample: int = 1) -> tuple:
+                         d2h_subsample: int = 1,
+                         coalesce_window_s: float = 0.0) -> tuple:
     """``paste_spec`` (from the FIRST session's avatar geometry:
     ``{"S", "H", "W", "Ho", "Wo"}``) composes the device paste-back into
     the super-batch step itself — the coalesced path then returns
@@ -67,7 +68,8 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                "unet_int8": unet_int8, "buckets": tuple(buckets),
                "paste": (None if paste_spec is None
                          else (paste_spec["H"], paste_spec["W"])),
-               "d2h_subsample": int(d2h_subsample)}
+               "d2h_subsample": int(d2h_subsample),
+               "coalesce_window_s": float(coalesce_window_s)}
         if _shared["scheduler"] is None:
             store = AvatarStore(item_shape=(32, 32, 8), dtype=np.float32)
             paste_fn = None
@@ -100,7 +102,8 @@ def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                 return wrapped
 
             sched = BatchScheduler((unet_params, vae_params), store,
-                                   step_factory, batch_size, buckets=buckets)
+                                   step_factory, batch_size, buckets=buckets,
+                                   coalesce_window_s=coalesce_window_s)
             sched.start()
             _shared["store"] = store
             _shared["scheduler"] = sched
@@ -277,6 +280,24 @@ def load_avatar(avatar_id: str, data_dir: str = "./data") -> Dict[str, Any]:
     }
 
 
+def _check_quant_flags(model: Dict[str, Any], key: str,
+                       wanted: Dict[str, bool]) -> None:
+    """The quantized trees cached in the shared ``model`` dict were built
+    with the FIRST session's int8 flags; a later session requesting
+    different flags must be rejected (mirroring the scheduler-config
+    contract), not silently served the first session's config. Trees
+    installed by external harnesses without a flag record are accepted
+    as-is (they own the process-wide config)."""
+    from livetalking_tpu.engine.scheduler import SchedulerConfigError
+
+    recorded = model.get(key)
+    if recorded is not None and recorded != wanted:
+        raise SchedulerConfigError(
+            f"quantized params cached with {recorded}; conflicting "
+            f"session config {wanted} rejected (per-session int8 flag "
+            "overrides are not allowed once quantization ran)")
+
+
 def _with_dummy_scales(tree):
     """Give every quantized conv site a placeholder activation scale so a
     warm-up compile produces the same (static-scale) program the
@@ -354,29 +375,39 @@ class MuseReal(BaseAvatar):
         self._vae_params = model["vae_params"]
         use_int8 = bool(getattr(opt, "vae_int8", False))
         if use_int8:
-            if "vae_params_q" not in model:  # shared across sessions
+            mid_int8 = bool(getattr(opt, "vae_mid_int8", True))
+            if "vae_params_q" in model:
+                # the process-shared quantized tree was produced by the
+                # FIRST session's flags; silently reusing it under other
+                # flags would run a config the user did not request
+                _check_quant_flags(model, "vae_q_flags",
+                                   {"vae_mid_int8": mid_int8})
+            else:  # shared across sessions
                 # device-native (jnp) quantize: weights never leave the
                 # chip; eager per-conv ops reuse tiny cached kernels (a
                 # whole-tree jit would mean one huge remote compile)
                 q = sd_vae.quantize_decoder(
-                    model["vae_params"],
-                    mid_int8=bool(getattr(opt, "vae_mid_int8", True)))
+                    model["vae_params"], mid_int8=mid_int8)
                 # calibrate on the reference-face latent channels ([4:] of
                 # cat(masked, ref)) - the decode-time distribution
                 zc = jnp.asarray(self.latent_cycle_device[:4, :, :, 4:])
                 model["vae_params_q"] = sd_vae.calibrate_decoder(
                     model["vae_params"], q, zc)
+                model["vae_q_flags"] = {"vae_mid_int8": mid_int8}
                 logger.info("musetalk: int8 VAE decoder calibrated")
             self._vae_params = model["vae_params_q"]
 
         self._unet_params = model["unet_params"]
         use_unet_int8 = bool(getattr(opt, "unet_int8", False))
         if use_unet_int8:
-            if "unet_params_q" not in model:  # shared across sessions
+            attn_int8 = bool(getattr(opt, "attn_int8", True))
+            if "unet_params_q" in model:
+                _check_quant_flags(model, "unet_q_flags",
+                                   {"attn_int8": attn_int8})
+            else:  # shared across sessions
                 # device-native (jnp) quantize, eager (see VAE note)
                 q = sd_unet.quantize_unet(
-                    model["unet_params"],
-                    attn_int8=bool(getattr(opt, "attn_int8", True)))
+                    model["unet_params"], attn_int8=attn_int8)
                 # calibrate on real avatar input latents + a whisper
                 # context with REAL encoder statistics: encode 1 s of
                 # noise through the model's own whisper encoder and take
@@ -414,6 +445,7 @@ class MuseReal(BaseAvatar):
                 tt = jnp.zeros((nb,), jnp.float32)
                 model["unet_params_q"] = sd_unet.calibrate_unet(
                     model["unet_params"], q, ucfg, zc, tt, ctx)
+                model["unet_q_flags"] = {"attn_int8": attn_int8}
                 logger.info("musetalk: int8 U-Net calibrated")
             self._unet_params = model["unet_params_q"]
 
@@ -437,11 +469,17 @@ class MuseReal(BaseAvatar):
                     [(ys, ye, xs, xe)
                      for (xs, ys, xe, ye) in self.mask_coords_list_cycle])
                 paste_spec = {"S": 256, "H": fh, "W": fw, "Ho": ho, "Wo": wo}
+            from livetalking_tpu.engine.scheduler import (
+                resolve_coalesce_window,
+            )
+
             store, self._scheduler = get_shared_scheduler(
                 model, self.batch_size, self._unet_params, self._vae_params,
                 use_int8, use_unet_int8, buckets=parse_buckets(opt),
                 paste_spec=paste_spec,
-                d2h_subsample=int(getattr(opt, "d2h_subsample", 1)))
+                d2h_subsample=int(getattr(opt, "d2h_subsample", 1)),
+                coalesce_window_s=resolve_coalesce_window(
+                    opt, self.batch_size))
             # validate the feature-coalescer config BEFORE store.add: a
             # conflicting session must be rejected without leaking its
             # packed latent cycle into the shared device store (the store

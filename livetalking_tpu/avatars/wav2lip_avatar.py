@@ -44,18 +44,21 @@ _shared: dict = {"store": None, "scheduler": None}
 
 
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
-                         buckets=(1, 2, 4, 8)) -> tuple:
+                         buckets=(1, 2, 4, 8),
+                         coalesce_window_s: float = 0.0) -> tuple:
     """Lazily create the process-wide (AvatarStore, BatchScheduler) pair."""
     from livetalking_tpu.engine.scheduler import SchedulerConfigError
 
     with _shared_lock:
-        cfg = {"batch_size": batch_size, "buckets": tuple(buckets)}
+        cfg = {"batch_size": batch_size, "buckets": tuple(buckets),
+               "coalesce_window_s": float(coalesce_window_s)}
         if _shared["scheduler"] is None:
             store = AvatarStore(IMG_SIZE)
             sched = BatchScheduler(
                 model["params"], store,
                 lambda n: w2l.make_infer_fn(n, IMG_SIZE, model["dtype"]),
                 batch_size, buckets=buckets,
+                coalesce_window_s=coalesce_window_s,
             )
             sched.start()
             _shared["store"] = store
@@ -148,10 +151,15 @@ class LipReal(BaseAvatar):
         self._scheduler = None
         self._store_offset = 0
         if getattr(opt, "coalesce", False):
-            from livetalking_tpu.engine.scheduler import parse_buckets
+            from livetalking_tpu.engine.scheduler import (
+                parse_buckets,
+                resolve_coalesce_window,
+            )
 
             store, self._scheduler = get_shared_scheduler(
-                model, self.batch_size, buckets=parse_buckets(opt))
+                model, self.batch_size, buckets=parse_buckets(opt),
+                coalesce_window_s=resolve_coalesce_window(
+                    opt, self.batch_size))
             self._store_offset, _ = store.add(avatar["avatar_id"], avatar["face_cycle_host"])
         else:
             self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])

@@ -70,6 +70,13 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
     add("--coalesce_buckets", type=str, default="1,2,4,8",
         help="session-count bucket sizes compiled for the coalescing "
              "scheduler (padding absorbs counts in between)")
+    add("--coalesce_window_ms", type=float, default=-1.0,
+        help="idle-device session-alignment window for the coalescing "
+             "scheduler, in ms. While the device is idle and a "
+             "super-batch is partial, the scheduler holds it up to this "
+             "long for other sessions to land on the same batch (a lone "
+             "session never waits). -1 = auto (one request period, "
+             "1000*batch_size/fps); 0 = dispatch immediately when idle")
     add("--session_inflight", type=int, default=2,
         help="per-session inference batches kept in flight (>=1). With "
              "the shared scheduler a synchronous loop is latency-bound "

@@ -142,11 +142,26 @@ class BatchScheduler:
         step_factory: Callable[[int], Callable],
         batch_size: int,
         buckets: Sequence[int] = (1, 2, 4, 8),
+        coalesce_window_s: float = 0.0,
     ):
         self.params = params
         self.store = store
         self.batch_size = batch_size
         self.buckets = sorted(buckets)
+        # idle-device alignment window (seconds): while the device is
+        # IDLE and the held set is partial, wait up to this long after
+        # the oldest held request for more sessions to land on the same
+        # super-batch. The hold-while-busy policy below only aligns
+        # sessions when the device is saturated (the in-flight step is
+        # the window); a real-time-paced deployment idles between rounds
+        # and would regress to dispatch-on-arrival staggering without
+        # this. 0 = dispatch immediately when idle (saturated-workload
+        # behavior, identical to round 3)
+        self.coalesce_window_s = float(coalesce_window_s)
+        # adaptive alignment target: rolling max of recently launched
+        # coalesced sizes — a lone session never waits out the window,
+        # because nothing in its history says a second session exists
+        self._launch_sizes: "deque[int]" = deque(maxlen=16)
         self._steps = {k: step_factory(k * batch_size) for k in self.buckets}
         self._queue: "Queue[_Request]" = Queue()
         self._quit = threading.Event()
@@ -162,10 +177,19 @@ class BatchScheduler:
         self.batch_sizes: "deque[int]" = deque(maxlen=4096)
         # first-contact compiles of a bucket's super-batch program can
         # take minutes (remote compiler); sessions must not misread that
-        # as a wedged device. The worker extends this deadline while a
-        # cold bucket compiles; infer() waits until max(own timeout, it).
+        # as a wedged device. Grace is scoped to the compile actually in
+        # progress: the dispatch thread raises ``_compiling`` around the
+        # cold step call (bounded by ``first_contact_timeout``), and a
+        # short post-compile window lets waiters whose own deadline
+        # lapsed during the compile still collect their result. Nothing
+        # else (in particular ``_resolve`` of an unrelated in-flight
+        # batch) touches the grace state, so a concurrent small-batch
+        # completion can no longer clobber an open compile window.
         self.first_contact_timeout = 900.0
+        self.post_compile_grace = 120.0
         self._warm_buckets: set = set()
+        self._compiling = False
+        self._compile_started = 0.0
         self._grace_deadline = 0.0
 
     # -- session API ------------------------------------------------------
@@ -180,19 +204,31 @@ class BatchScheduler:
         self._queue.put(_Request(np.asarray(global_idxs, np.int32), mel, fut))
         return fut
 
+    def _in_grace(self, now: float) -> bool:
+        """True while waits should extend past their own deadline: a cold
+        bucket compile is genuinely in progress (capped at
+        ``first_contact_timeout`` so a hung remote compiler still
+        surfaces), or one just finished (``post_compile_grace`` window so
+        requests that queued behind it collect their results)."""
+        if self._compiling and (now - self._compile_started
+                                < self.first_contact_timeout):
+            return True
+        return now < self._grace_deadline
+
     def wait(self, fut: Future, timeout: float = 120.0) -> np.ndarray:
         """Bounded wait on a submitted request: a wedged device (dead
         tunnel, hung remote compile) must surface as an error in the
         session's inference thread, not a silent permanent hang — but a
         legitimate first-contact compile of a cold bucket (minutes) must
-        NOT trip the bound, so the wait extends to the worker's
-        compile-grace deadline while one is active."""
+        NOT trip the bound, so the wait extends while one is actually in
+        progress (see ``_in_grace``)."""
         deadline = time.monotonic() + timeout
         while True:
             try:
                 return fut.result(timeout=2.0)
             except FutureTimeout:
-                if time.monotonic() < max(deadline, self._grace_deadline):
+                now = time.monotonic()
+                if now < deadline or self._in_grace(now):
                     continue
                 raise
 
@@ -214,7 +250,12 @@ class BatchScheduler:
     def stop(self) -> None:
         self._quit.set()
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            # the worker's shutdown path fails still-held batches (it
+            # never launches new device work on quit) and then drains the
+            # fetch thread of the <=2 in-flight batches; cover that drain
+            # so stop() — the registered pre-teardown XLA-exit guard —
+            # returns only once no thread still touches the device
+            self._thread.join(timeout=130)
             self._thread = None
         # fail any request still queued so no session blocks forever on
         # a Future the dead worker will never resolve
@@ -251,11 +292,13 @@ class BatchScheduler:
         k = len(reqs)
         bucket = next(b for b in self.buckets if b >= k)
         B = self.batch_size
-        if bucket not in self._warm_buckets:
+        cold = bucket not in self._warm_buckets
+        if cold:
             # cold bucket: the step call below blocks this thread for the
-            # trace+compile; open the grace window for waiting sessions
-            self._grace_deadline = (time.monotonic()
-                                    + self.first_contact_timeout)
+            # trace+compile; raise the in-progress flag so waiting
+            # sessions extend their bounds exactly as long as it runs
+            self._compile_started = time.monotonic()
+            self._compiling = True
 
         idxs = np.zeros(bucket * B, np.int32)
         mels = []
@@ -266,8 +309,16 @@ class BatchScheduler:
         if pad:
             mels.append(jnp.zeros((pad * B,) + mels[0].shape[1:], jnp.float32))
         mel = jnp.concatenate(mels, axis=0).astype(jnp.float32)
-        out = self._steps[bucket](self.params, self.store.buffer,
-                                  jnp.asarray(idxs), mel)
+        try:
+            out = self._steps[bucket](self.params, self.store.buffer,
+                                      jnp.asarray(idxs), mel)
+        finally:
+            if cold:
+                # compile over (or failed): requests that queued behind it
+                # get a short fresh window to collect their results
+                self._grace_deadline = (time.monotonic()
+                                        + self.post_compile_grace)
+                self._compiling = False
         self._warm_buckets.add(bucket)  # returned => compile done
         return out
 
@@ -283,10 +334,11 @@ class BatchScheduler:
         self.requests_run += len(reqs)
         self.batches_run += 1
         self.frames_run += len(reqs) * B
-        # a completed batch proves the device is healthy: shrink any open
-        # compile grace back toward the normal bound
-        self._grace_deadline = min(self._grace_deadline,
-                                   time.monotonic() + 120.0)
+        # NOTE: grace state is owned by _dispatch alone. A completed
+        # small batch proves nothing about a cold-bucket compile still in
+        # progress on the dispatch thread (double-buffer path), so
+        # shrinking the grace window here would time out sessions waiting
+        # on that legitimate multi-minute compile.
 
     def _try_dispatch(self, reqs: List[_Request]):
         try:
@@ -345,6 +397,7 @@ class BatchScheduler:
         fthread.start()
 
         def launch(batch: List[_Request]) -> None:
+            self._launch_sizes.append(len(batch))
             out = self._try_dispatch(batch)
             if out is not None:
                 with lock:
@@ -358,12 +411,27 @@ class BatchScheduler:
                 continue
             with lock:
                 busy = state["in_flight"]
-            if (len(held) >= maxb and busy < 2) or busy == 0:
+            if len(held) >= maxb and busy < 2:
                 batch, held = held[:maxb], held[maxb:]
                 launch(batch)
-        while held:  # shutdown: run anything still held
-            batch, held = held[:maxb], held[maxb:]
-            launch(batch)
+            elif busy == 0:
+                # idle device, partial bucket: hold up to the alignment
+                # window for the other active sessions — but dispatch as
+                # soon as the held set matches what recent rounds prove
+                # is actually out there (a lone session never waits)
+                target = max(self._launch_sizes, default=1)
+                if (len(held) >= min(target, maxb)
+                        or (time.monotonic() - held[0].t_submit
+                            >= self.coalesce_window_s)):
+                    batch, held = held[:maxb], held[maxb:]
+                    launch(batch)
+        # shutdown: never launch NEW device work on quit (an unbounded
+        # compile/step would outlive stop()'s join and overlap interpreter
+        # teardown) — fail held requests instead; sessions degrade those
+        # batches to idle frames
+        for r in held:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("batch scheduler stopped"))
         fetchq.put(None)
         fthread.join(timeout=120)
         logger.info("batch scheduler stop (batches=%d requests=%d frames=%d)",
@@ -375,3 +443,14 @@ def parse_buckets(opt) -> tuple:
     every avatar family wiring the BatchScheduler."""
     spec = str(getattr(opt, "coalesce_buckets", "") or "1,2,4,8")
     return tuple(int(v) for v in spec.split(",") if v.strip())
+
+
+def resolve_coalesce_window(opt, batch_size: int) -> float:
+    """--coalesce_window_ms -> seconds. Auto (-1) = one request period
+    (batch_size / fps): the longest any paced session can lag the others
+    within a round, so one window always gathers every active session
+    while bounding the added latency to at most one request period."""
+    ms = float(getattr(opt, "coalesce_window_ms", -1.0))
+    if ms < 0:
+        return batch_size / float(getattr(opt, "fps", 25) or 25)
+    return ms / 1000.0

@@ -175,3 +175,19 @@ def test_musetalk_coalesced_sessions_with_feature_coalescer(stack, tmp_path_fact
         q1.set(); q2.set()
         t1.join(timeout=15); t2.join(timeout=15)
         reset_shared_scheduler()
+
+
+def test_quant_flag_cache_mismatch_rejected():
+    """ADVICE r3: the process-shared quantized trees are keyed by the
+    int8 flags that produced them — a later session with different
+    attn_int8/vae_mid_int8 must be rejected, not silently served the
+    first session's config."""
+    from livetalking_tpu.avatars.musetalk_avatar import _check_quant_flags
+    from livetalking_tpu.engine.scheduler import SchedulerConfigError
+
+    model = {"unet_q_flags": {"attn_int8": True}}
+    _check_quant_flags(model, "unet_q_flags", {"attn_int8": True})  # match ok
+    with pytest.raises(SchedulerConfigError, match="int8 flag"):
+        _check_quant_flags(model, "unet_q_flags", {"attn_int8": False})
+    # externally installed trees without a record are accepted
+    _check_quant_flags({}, "unet_q_flags", {"attn_int8": False})

@@ -200,6 +200,101 @@ def test_error_propagates_to_future(store):
     s.stop()
 
 
+def test_resolve_never_clobbers_open_compile_grace(sched, store):
+    """ADVICE r3 (medium): while a cold bucket compiles on the dispatch
+    thread, a concurrently completing batch must NOT shrink the grace
+    window (the old global-deadline scheme let _resolve clamp it to
+    now+120s, timing out sessions behind a legitimate multi-minute
+    compile). Grace state is owned by _dispatch alone now."""
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((B, 4, 4)).astype(np.float32)
+    sched.infer(np.asarray([0, 1], np.int32), mel)  # warm bucket 1
+    # simulate an in-progress cold compile of ANOTHER bucket
+    sched._compiling = True
+    sched._compile_started = time.monotonic()
+    try:
+        assert sched._in_grace(time.monotonic())
+        # an unrelated warm batch completes while the compile runs
+        sched.infer(np.asarray([0, 1], np.int32), mel)
+        assert sched._compiling and sched._in_grace(time.monotonic()), (
+            "completed batch clobbered the open compile grace")
+        # a hung compile stops extending after first_contact_timeout
+        sched._grace_deadline = 0.0
+        sched._compile_started = (time.monotonic()
+                                  - sched.first_contact_timeout - 1)
+        assert not sched._in_grace(time.monotonic())
+    finally:
+        sched._compiling = False
+
+
+def test_stop_fails_held_batches_and_stays_bounded(store):
+    """ADVICE r3: stop() must not launch NEW device work for still-held
+    batches (unbounded shutdown overlapping interpreter teardown) — held
+    futures fail fast, in-flight ones still resolve."""
+    params = {"gain": jnp.float32(0.0)}
+
+    def slow_factory(total):
+        def step(p, buffer, idxs, mel):
+            time.sleep(0.5)
+            return np.zeros((total, S, S, 3), np.uint8)
+        return step
+
+    sched = BatchScheduler(params, store, slow_factory, B, buckets=(1,))
+    sched.start()
+    mel = np.zeros((B, 4, 4), np.float32)
+    futs = [sched.submit(np.array([0, 1], np.int32), mel) for _ in range(5)]
+    time.sleep(0.2)  # let the worker dispatch the first two (double buffer)
+    t0 = time.monotonic()
+    sched.stop()
+    assert time.monotonic() - t0 < 10.0
+    outcomes = []
+    for f in futs:
+        try:
+            f.result(timeout=5)
+            outcomes.append("ok")
+        except RuntimeError as e:
+            assert "stopped" in str(e)
+            outcomes.append("stopped")
+    # the ones in flight at stop() resolve; the held tail fails fast
+    assert "stopped" in outcomes, outcomes
+    assert outcomes[0] == "ok", outcomes
+
+
+def test_coalesce_window_aligns_idle_device_sessions(store):
+    """r4 low-latency tier: with the device IDLE (real-time-paced serving,
+    not the saturated bench), staggered submissions within the alignment
+    window must land on ONE super-batch instead of dispatch-on-arrival
+    singles — but only once history proves other sessions exist."""
+    params = {"gain": jnp.asarray(0.0)}
+    sched = BatchScheduler(params, store, tiny_step_factory(params), B,
+                           buckets=(1, 2, 4), coalesce_window_s=0.4)
+    sched.start()
+    mel = np.zeros((B, 4, 4), np.float32)
+    try:
+        # 1) no coalescing history -> a lone request never waits the window
+        t0 = time.monotonic()
+        sched.infer(np.asarray([0, 1], np.int32), mel)
+        assert time.monotonic() - t0 < 0.3, "lone session waited the window"
+        # 2) with history of 2-wide rounds, two staggered idle-device
+        #    submissions align onto one batch
+        sched._launch_sizes.append(2)
+        f1 = sched.submit(np.asarray([0, 1], np.int32), mel)
+        time.sleep(0.1)  # stagger well past a CPU step, inside the window
+        f2 = sched.submit(np.asarray([2, 3], np.int32), mel)
+        f1.result(timeout=10); f2.result(timeout=10)
+        assert sched.batch_sizes[-1] == 2, list(sched.batch_sizes)
+        # 3) target reached -> dispatch well before the window expires
+        sched.coalesce_window_s = 30.0
+        sched._launch_sizes.append(2)
+        t0 = time.monotonic()
+        f1 = sched.submit(np.asarray([0, 1], np.int32), mel)
+        f2 = sched.submit(np.asarray([2, 3], np.int32), mel)
+        f1.result(timeout=10); f2.result(timeout=10)
+        assert time.monotonic() - t0 < 5.0, "held past a full target set"
+    finally:
+        sched.stop()
+
+
 def test_hold_policy_aligns_staggered_sessions(store):
     """Free-running closed-loop sessions that submit slightly staggered
     must converge onto FULL super-batches: while a batch is in flight the
