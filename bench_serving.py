@@ -76,6 +76,21 @@ def main() -> dict:
                          "--device_paste_back composed (finalfps per the "
                          "reference definition, reference "
                          "server/webrtc.py:149)")
+    ap.add_argument("--warm_frames", type=int, default=0,
+                    help="engine mode: per-session egress frames required "
+                         "before the timed window opens (0 = auto, 8*B — "
+                         "covers the bucket-ladder compiles)")
+    ap.add_argument("--paced", action="store_true",
+                    help="engine mode: consume egress at the real-time "
+                         "25 fps cadence instead of free-running — the "
+                         "deployment regime (device idles between "
+                         "rounds); latency then measures what a viewer "
+                         "experiences, and fps/session ~25 with zero "
+                         "starvation is the pass criterion")
+    ap.add_argument("--coalesce_window_ms", type=float, default=-1.0,
+                    help="engine mode: idle-device session-alignment "
+                         "window (config --coalesce_window_ms; -1 auto = "
+                         "one request period)")
     ap.add_argument("--frame_h", type=int, default=480)
     ap.add_argument("--frame_w", type=int, default=640)
     ap.add_argument("--d2h_subsample", type=int, default=16,
@@ -372,6 +387,7 @@ def _engine_serving(args) -> dict:
         vae_int8=use_int8, unet_int8=use_int8,
         whisper_short_window=bool(args.whisper_short),
         coalesce_buckets=",".join(str(b) for b in buckets),
+        coalesce_window_ms=float(args.coalesce_window_ms),
         d2h_subsample=max(1, args.d2h_subsample),
         session_inflight=max(1, args.session_inflight),
         musetalk_size="tiny" if args.tiny else "full",
@@ -460,14 +476,37 @@ def _engine_serving(args) -> dict:
         except Exception as e:  # pragma: no cover
             errors.append(f"feeder: {e}")
 
+    starved = [0] * N
+
     def consumer(i, s):
+        """Free-run: drain as fast as produced (ceiling methodology).
+        --paced: pull exactly one frame per 40 ms tick — the deployment
+        regime, where the transport emits at 25 fps and the device idles
+        between rounds; a tick with an empty queue counts as starvation
+        (a viewer-visible frame drop)."""
+        period = 1.0 / 25.0
+        nxt = time.monotonic()
         try:
             while not stop.is_set():
-                try:
-                    s.output.video_queue.get(timeout=0.2)
-                    counts[i] += 1
-                except pyqueue.Empty:
-                    pass
+                if args.paced:
+                    now = time.monotonic()
+                    if now < nxt:
+                        time.sleep(min(nxt - now, 0.05))
+                    else:
+                        try:
+                            s.output.video_queue.get_nowait()
+                            counts[i] += 1
+                        except pyqueue.Empty:
+                            starved[i] += 1
+                        nxt += period
+                        if now - nxt > 1.0:  # never replay a long gap
+                            nxt = now
+                else:
+                    try:
+                        s.output.video_queue.get(timeout=0.2)
+                        counts[i] += 1
+                    except pyqueue.Empty:
+                        pass
                 while True:  # drain audio so eventpoints keep flowing
                     try:
                         s.output.audio_queue.get_nowait()
@@ -487,7 +526,7 @@ def _engine_serving(args) -> dict:
     # super-batch + paste + whisper-bucket compiles, which land lazily
     # as coalescing widens through the bucket ladder)
     print("# warming (compiles on first contact)...", flush=True)
-    warm_target = 8 * B
+    warm_target = args.warm_frames if args.warm_frames > 0 else 8 * B
     deadline = time.time() + 1800
     last = 0.0
     while (any(c < warm_target for c in counts) and not errors
@@ -504,9 +543,11 @@ def _engine_serving(args) -> dict:
     lat_skip = len(sched.latency_s)
     bs_skip = len(sched.batch_sizes)
     snap0 = list(counts)
+    starv0 = list(starved)
     t0 = time.time()
     time.sleep(args.secs)
     snap1 = list(counts)
+    starv1 = list(starved)
     elapsed = time.time() - t0
 
     stop.set()
@@ -535,6 +576,10 @@ def _engine_serving(args) -> dict:
         "fused_vae": bool(args.fused_vae),
         "device_paste_back": True,
         "session_inflight": max(1, args.session_inflight),
+        "paced": bool(args.paced),
+        "starved_ticks": ([b - a for a, b in zip(starv0, starv1)]
+                          if args.paced else None),
+        "coalesce_window_ms": float(args.coalesce_window_ms),
         "coalesce": True,
         "frame_hw": [args.frame_h, args.frame_w],
         "d2h_subsample": base["d2h_subsample"],
