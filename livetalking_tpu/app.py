@@ -131,6 +131,13 @@ def load_plugin_stack(options):
     global_avatars[opt.avatar_id] = _load_avatar(opt.avatar_id, opt.data_dir)
 
     session_manager.set_max_session(opt.max_session)
+    cap = int(getattr(opt, "capacity_sessions", -1))
+    if cap < 0:
+        from livetalking_tpu.server.session_manager import MEASURED_CAPACITY
+
+        cap = MEASURED_CAPACITY.get(opt.model) or 0
+    session_manager.configure_capacity(
+        cap or None, str(getattr(opt, "capacity_policy", "warn")))
     session_manager.init_builder(build_avatar_session)
 
 

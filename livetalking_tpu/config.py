@@ -70,6 +70,16 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
     add("--coalesce_buckets", type=str, default="1,2,4,8",
         help="session-count bucket sizes compiled for the coalescing "
              "scheduler (padding absorbs counts in between)")
+    add("--capacity_sessions", type=int, default=-1,
+        help="measured per-chip real-time capacity (sessions sustaining "
+             ">=25 fps each) used for admission beyond --max_session: "
+             "-1 = auto (the committed per-family measurement, e.g. "
+             "musetalk 480x640 int8 = 8), 0 = disable, N = override")
+    add("--capacity_policy", type=str, default="warn",
+        choices=["warn", "strict", "off"],
+        help="what to do when a new session exceeds measured capacity: "
+             "warn (admit + log + flag in /api/admin/sessions), strict "
+             "(reject with a clean error envelope), off")
     add("--coalesce_window_ms", type=float, default=-1.0,
         help="idle-device session-alignment window for the coalescing "
              "scheduler, in ms. While the device is idle and a "

@@ -209,7 +209,17 @@ async def admin_sessions(request: web.Request) -> web.Response:
                     "customopt": getattr(s_opt, "customopt", []),
                 })
             sessions_info.append(info)
-        return json_ok(data={"sessions": sessions_info})
+        data = {"sessions": sessions_info}
+        if session_manager.capacity is not None:
+            # measured real-time admission state (docs/serving.md):
+            # operators see capacity pressure here before users see
+            # degraded fps
+            data["capacity"] = {
+                "measured_sessions": session_manager.capacity,
+                "policy": session_manager.capacity_policy,
+                "over_capacity": session_manager.over_capacity,
+            }
+        return json_ok(data=data)
     except Exception as e:
         logger.exception("admin_sessions exception:")
         return json_error(str(e))

@@ -20,6 +20,27 @@ class MaxSessionError(Exception):
     """Raised when the concurrent-session limit is reached."""
 
 
+class CapacityError(MaxSessionError):
+    """Raised under --capacity_policy strict when a new session would
+    exceed the MEASURED per-chip real-time capacity (sessions that
+    sustain >=25 fps each), as opposed to the static --max_session gate."""
+
+
+# Measured single-chip real-time capacity (sessions sustaining >=25
+# finalfps each) per family, from the committed engine-egress artifacts:
+# musetalk 480x640 int8 holds 29.33 fps/session at 8 sessions
+# (SERVING_r03_engine8_fullint8.json) and degrades to 19.2 at 12
+# (SERVING_r03_engine12.json) — the cliff sits between 8 and 12.
+# Families without a committed engine-egress capacity curve are None
+# (no capacity gate beyond --max_session).
+MEASURED_CAPACITY = {
+    "musetalk": 8,
+    "wav2lip": None,
+    "ultralight": None,
+    "ernerf": None,
+}
+
+
 class SessionManager:
     _instance = None
     _instance_lock = threading.Lock()
@@ -36,11 +57,24 @@ class SessionManager:
         self.sessions: Dict[str, object] = {}
         self.build_session_fn: Optional[Callable] = None
         self.max_session = 1
+        self.capacity: Optional[int] = None
+        self.capacity_policy = "off"
+        self.over_capacity = False
         self._lock = threading.Lock()
         self.initialized = True
 
     def set_max_session(self, n: int) -> None:
         self.max_session = max(1, n)
+
+    def configure_capacity(self, capacity: Optional[int],
+                           policy: str = "warn") -> None:
+        """Measured-capacity admission (VERDICT r3 item 5): ``capacity``
+        is the per-chip session count known to sustain >=25 fps each
+        (``MEASURED_CAPACITY`` or an operator override); ``policy`` is
+        'warn' (admit + log, surfaced in /api/admin/sessions),
+        'strict' (reject with a clean envelope error) or 'off'."""
+        self.capacity = capacity if capacity and capacity > 0 else None
+        self.capacity_policy = policy if policy in ("warn", "strict") else "off"
 
     def init_builder(self, build_session_fn: Callable) -> None:
         self.build_session_fn = build_session_fn
@@ -63,6 +97,18 @@ class SessionManager:
                 raise MaxSessionError(
                     f"Maximum session limit reached ({active}/{self.max_session})"
                 )
+            if self.capacity is not None and active >= self.capacity:
+                msg = (f"measured real-time capacity exceeded: {active + 1} "
+                       f"sessions > {self.capacity} sustaining >=25 fps each "
+                       "on this chip (see docs/serving.md capacity curve)")
+                if self.capacity_policy == "strict":
+                    raise CapacityError(msg)
+                if self.capacity_policy == "warn":
+                    self.over_capacity = True
+                    logger.warning("%s — admitting anyway "
+                                   "(--capacity_policy warn)", msg)
+            elif self.capacity is not None:
+                self.over_capacity = False
             logger.info("Creating sessionid=%s, current session num=%d", sessionid, active)
             self.sessions[sessionid] = None  # reserve
 

@@ -163,6 +163,30 @@ def test_max_session_gate(server, sessionid):
                   json={"sessionid": r4["data"]["sessionid"]})
 
 
+def test_capacity_admission(server, sessionid):
+    """VERDICT r3 item 5: measured-capacity admission. strict rejects
+    with a clean envelope; warn admits, flags /api/admin/sessions."""
+    from livetalking_tpu.server.session_manager import session_manager as sm
+
+    old = (sm.capacity, sm.capacity_policy, sm.over_capacity)
+    try:
+        # one session active ('sessionid'); measured capacity = 1
+        sm.configure_capacity(1, "strict")
+        r = requests.post(server + "/session", json={}).json()
+        assert r["code"] == -1 and "capacity" in r["msg"], r
+
+        sm.configure_capacity(1, "warn")
+        r2 = requests.post(server + "/session", json={}).json()
+        assert r2["code"] == 0, r2  # admitted anyway
+        adm = requests.get(server + "/api/admin/sessions").json()
+        assert adm["data"]["capacity"]["over_capacity"] is True
+        assert adm["data"]["capacity"]["measured_sessions"] == 1
+        requests.post(server + "/session/close",
+                      json={"sessionid": r2["data"]["sessionid"]})
+    finally:
+        sm.capacity, sm.capacity_policy, sm.over_capacity = old
+
+
 def test_sse_stream_delivers_eventpoints(server, sessionid):
     # subscribe first, then speak; start eventpoint must arrive on the stream
     resp = requests.get(server + f"/sse?sessionid={sessionid}", stream=True, timeout=90)
