@@ -179,6 +179,54 @@ def _en_itn(text: str) -> str:
     t = "".join(out)
     t = re.sub(r"(\d+)\s*percent", r"\1%", t, flags=re.IGNORECASE)
     t = re.sub(r"(\d+)\s*dollars?\b", r"$\1", t, flags=re.IGNORECASE)
+    return _merge_time_year(t)
+
+
+# Spoken time/year pairs: the number grammar correctly refuses to join
+# "three thirty" / "nineteen ninety eight" into one cardinal, but the
+# split halves read worse than the words ("three 30", "19 98"). Merge
+# the two classic pair idioms after digitization: clock times (with a
+# preposition cue or trailing am/pm — conservative, since a bare pair is
+# ambiguous) and 13xx-20xx years (no cue needed; that pair shape is
+# almost always a year in speech).
+_HOUR_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+               "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+               "eleven": 11, "twelve": 12}
+_TIME_CUE = r"(?:at|by|around|until|till|before|after)"
+_HW_ALT = "|".join(_HOUR_WORDS)
+
+
+def _as_hour(tok: str):
+    v = _HOUR_WORDS.get(tok.lower())
+    if v is None:
+        try:
+            v = int(tok)
+        except ValueError:
+            return None
+    return v if 0 <= v <= 23 else None
+
+
+def _merge_time_year(t: str) -> str:
+    def time_sub(m: re.Match) -> str:
+        h = _as_hour(m.group(2))
+        if h is None or not 10 <= int(m.group(3)) <= 59:
+            return m.group(0)
+        return f"{m.group(1)} {h}:{m.group(3)}"
+
+    t = re.sub(rf"\b({_TIME_CUE})\s+((?:{_HW_ALT})|\d{{1,2}})\s+(\d{{2}})\b",
+               time_sub, t, flags=re.IGNORECASE)
+
+    def ampm_sub(m: re.Match) -> str:
+        h = _as_hour(m.group(1))
+        if h is None or not 10 <= int(m.group(2)) <= 59:
+            return m.group(0)
+        return f"{h}:{m.group(2)} {m.group(3)}"
+
+    t = re.sub(rf"\b((?:{_HW_ALT})|\d{{1,2}})\s+(\d{{2}})\s*"
+               r"(am|pm|a\.m\.|p\.m\.)\b",
+               ampm_sub, t, flags=re.IGNORECASE)
+    # "nineteen ninety eight" -> "19 98" -> "1998"; "twenty twenty" -> 2020
+    t = re.sub(r"\b(1[3-9]|20)\s+([1-9]\d)\b", r"\1\2", t)
     return t
 
 

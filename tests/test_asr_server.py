@@ -352,3 +352,37 @@ def test_compression_ratio_flags_repetition():
                "using acoustic and language models together")
     assert compression_ratio(degenerate) > COMPRESSION_RATIO_THRESHOLD
     assert compression_ratio(natural) < COMPRESSION_RATIO_THRESHOLD
+
+
+# Realistic transcript fixtures through the FULL protocol handler
+# (VERDICT r3 item 9): raw decoder output in, normalized client-visible
+# text out — the shape of the reference's SenseVoice post-processing
+# (reference server/asr_server.py:70-116). itn gates ONLY number
+# rewriting; punctuation/capitalization always run.
+FIXTURES = [
+    # (raw transcript, itn, expected client text)
+    ("the meeting is at three thirty on march fifth", True,
+     "The meeting is at 3:30 on march fifth."),
+    ("we sold twenty five thousand units which is twelve percent more",
+     True, "We sold 25000 units which is 12% more."),
+    ("i was born in nineteen ninety eight", True,
+     "I was born in 1998."),
+    ("it costs one hundred and twenty three dollars", True,
+     "It costs $123."),
+    ("the meeting is at three thirty", False,
+     "The meeting is at three thirty."),
+    ("会议在三点开始 我们卖了两万五千件 增长了百分之十二", True,
+     "会议在三点开始 我们卖了25000件 增长了12%。"),
+    ("今天天气很好", False, "今天天气很好。"),
+]
+
+
+@pytest.mark.parametrize("raw,itn,expected", FIXTURES)
+def test_protocol_realistic_transcripts(asr_server_url, fake_backend,
+                                        raw, itn, expected):
+    fake_backend.text = raw
+    pcm = (np.sin(np.arange(16000) * 0.03) * 15000).astype(np.int16)
+    reply = _ws_roundtrip(asr_server_url, pcm.tobytes(),
+                          config={"itn": itn, "mode": "offline"})
+    assert reply["text"] == expected
+    assert reply["mode"] == "offline" and reply["is_final"] is True
