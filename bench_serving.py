@@ -40,7 +40,7 @@ import numpy as np
 def main() -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="musetalk",
-                    choices=["musetalk", "wav2lip"])
+                    choices=["musetalk", "wav2lip", "ultralight"])
     ap.add_argument("--sessions", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=20.0)
@@ -367,13 +367,15 @@ def _engine_serving(args) -> dict:
         os.environ["LT_FUSED_VAE"] = "1"
 
     from livetalking_tpu import registry
-    from livetalking_tpu.avatars import musetalk_avatar as plugin
     from livetalking_tpu.config import default_opt
-    from livetalking_tpu.models import sd_unet, sd_vae
-    from livetalking_tpu.utils.synthetic import make_synthetic_musetalk_avatar
+    from livetalking_tpu.utils.synthetic import (
+        make_synthetic_avatar,
+        make_synthetic_musetalk_avatar,
+    )
 
+    family = args.family
     N, B = args.sessions, args.batch
-    use_int8 = not args.no_int8
+    use_int8 = not args.no_int8 and family == "musetalk"
     # cap the largest super-batch at 8 sessions: the bucket-16 program
     # (256 frames, full U-Net+VAE+device paste at 480x640) exceeds v5e
     # HBM — measured "Used 16.03G of 15.75G hbm" compile OOM — so >8
@@ -381,9 +383,10 @@ def _engine_serving(args) -> dict:
     cap = max(1, int(args.max_bucket))
     buckets = sorted({b for b in (1, 2, 4, 8, N) if b <= min(N, cap)})
     tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
+    coalesce = family != "ultralight"  # per-avatar weights: no coalescing
     base = dict(
-        transport="queue", tts="dummy", batch_size=B, model="musetalk",
-        coalesce=True, device_paste_back=True,
+        transport="queue", tts="dummy", batch_size=B, model=family,
+        coalesce=coalesce, device_paste_back=coalesce,
         vae_int8=use_int8, unet_int8=use_int8,
         whisper_short_window=bool(args.whisper_short),
         coalesce_buckets=",".join(str(b) for b in buckets),
@@ -392,41 +395,66 @@ def _engine_serving(args) -> dict:
         session_inflight=max(1, args.session_inflight),
         musetalk_size="tiny" if args.tiny else "full",
     )
-    print(f"# engine serving: N={N} B={B} int8={use_int8} "
+    print(f"# engine serving: family={family} N={N} B={B} int8={use_int8} "
           f"frame={args.frame_w}x{args.frame_h} "
           f"d2h_sub={base['d2h_subsample']} buckets={buckets} "
           f"calibrated={args.calibrated} fused_vae={args.fused_vae}",
           flush=True)
 
     opt0 = default_opt(sessionid="bench0", **base)
-    model = plugin.load_model(opt0)  # random-init fallbacks, real graphs
-    make_synthetic_musetalk_avatar(
-        os.path.join(tmp, "avatars", "bench"), model["vae_params"],
-        n_frames=10, frame_hw=(args.frame_h, args.frame_w))
-    avatar = plugin.load_avatar("bench", tmp)
+    if family == "musetalk":
+        from livetalking_tpu.avatars import musetalk_avatar as plugin
+        from livetalking_tpu.models import sd_unet, sd_vae
 
-    if use_int8 and not args.calibrated:
-        # dummy scales: identical compute graph, garbage values — skips
-        # the calibration walk (throughput-only run; --calibrated pairs
-        # real quality with the same timing)
-        from livetalking_tpu.avatars.musetalk_avatar import _with_dummy_scales
+        model = plugin.load_model(opt0)  # random-init fallbacks, real graphs
+        make_synthetic_musetalk_avatar(
+            os.path.join(tmp, "avatars", "bench"), model["vae_params"],
+            n_frames=10, frame_hw=(args.frame_h, args.frame_w))
+        avatar = plugin.load_avatar("bench", tmp)
 
-        print("# quantizing (dummy scales)...", flush=True)
-        model["unet_params_q"] = _with_dummy_scales(
-            sd_unet.quantize_unet(model["unet_params"]))
-        model["vae_params_q"] = _with_dummy_scales(
-            sd_vae.quantize_decoder(model["vae_params"]))
+        if use_int8 and not args.calibrated:
+            # dummy scales: identical compute graph, garbage values —
+            # skips the calibration walk (throughput-only run;
+            # --calibrated pairs real quality with the same timing)
+            from livetalking_tpu.avatars.musetalk_avatar import (
+                _with_dummy_scales,
+            )
 
-    plugin.reset_shared_scheduler()
+            print("# quantizing (dummy scales)...", flush=True)
+            model["unet_params_q"] = _with_dummy_scales(
+                sd_unet.quantize_unet(model["unet_params"]))
+            model["vae_params_q"] = _with_dummy_scales(
+                sd_vae.quantize_decoder(model["vae_params"]))
+    elif family == "wav2lip":
+        from livetalking_tpu.avatars import wav2lip_avatar as plugin
+
+        model = plugin.load_model("", opt0)  # random init, real graph
+        make_synthetic_avatar(
+            os.path.join(tmp, "avatars", "bench"), n_frames=10,
+            frame_hw=(args.frame_h, args.frame_w))
+        avatar = plugin.load_avatar("bench", tmp)
+    else:  # ultralight: reference per-session topology (no scheduler)
+        from livetalking_tpu.avatars import ultralight_avatar as plugin
+
+        model = plugin.load_model(opt0)
+        make_synthetic_avatar(
+            os.path.join(tmp, "avatars", "bench"), n_frames=10,
+            frame_hw=(args.frame_h, args.frame_w), face_size=168,
+            coord_order="xy")
+        avatar = plugin.load_avatar("bench", tmp)
+
+    if coalesce:
+        plugin.reset_shared_scheduler()
     print("# building sessions...", flush=True)
     sessions = [
-        registry.create("avatar", "musetalk",
+        registry.create("avatar", family,
                         opt=default_opt(sessionid=f"s{i}", **base),
                         model=model, avatar=avatar)
         for i in range(N)
     ]
-    sched = plugin._shared["scheduler"]
-    assert sessions[0]._scheduler_composes, "device paste not composed"
+    sched = plugin._shared["scheduler"] if coalesce else None
+    if coalesce:
+        assert sessions[0]._scheduler_composes, "device paste not composed"
 
     psnr_int8_vs_bf16 = None
     if use_int8 and args.calibrated:
@@ -540,8 +568,8 @@ def _engine_serving(args) -> dict:
     if any(c < warm_target for c in counts):
         raise RuntimeError(f"warmup timed out: egress counts {counts}")
 
-    lat_skip = len(sched.latency_s)
-    bs_skip = len(sched.batch_sizes)
+    lat_skip = len(sched.latency_s) if sched else 0
+    bs_skip = len(sched.batch_sizes) if sched else 0
     snap0 = list(counts)
     starv0 = list(starved)
     t0 = time.time()
@@ -555,16 +583,19 @@ def _engine_serving(args) -> dict:
         q.set()
     for t in render_threads + aux_threads:
         t.join(timeout=20)
-    lat = np.asarray(list(sched.latency_s)[lat_skip:], np.float64)
-    bsz = np.asarray(list(sched.batch_sizes)[bs_skip:], np.int64)
-    plugin.reset_shared_scheduler()
+    lat = (np.asarray(list(sched.latency_s)[lat_skip:], np.float64)
+           if sched else np.asarray([], np.float64))
+    bsz = (np.asarray(list(sched.batch_sizes)[bs_skip:], np.int64)
+           if sched else np.asarray([], np.int64))
+    if coalesce:
+        plugin.reset_shared_scheduler()
     if errors:
         raise RuntimeError("; ".join(errors))
 
     per_session = [(b - a) / elapsed for a, b in zip(snap0, snap1)]
     batch_budget_s = B / 25.0  # one B-frame request = B/25 s of video
     result = {
-        "metric": "musetalk_engine_egress_finalfps_per_session",
+        "metric": f"{family}_engine_egress_finalfps_per_session",
         "value": round(min(per_session), 2),
         "unit": "frames/s/session",
         "vs_baseline": round(min(per_session) / 25.0, 2),
@@ -574,13 +605,13 @@ def _engine_serving(args) -> dict:
         "int8_calibrated": bool(args.calibrated and use_int8),
         "int8_vs_bf16_psnr_db": psnr_int8_vs_bf16,
         "fused_vae": bool(args.fused_vae),
-        "device_paste_back": True,
+        "device_paste_back": coalesce,
         "session_inflight": max(1, args.session_inflight),
         "paced": bool(args.paced),
         "starved_ticks": ([b - a for a, b in zip(starv0, starv1)]
                           if args.paced else None),
         "coalesce_window_ms": float(args.coalesce_window_ms),
-        "coalesce": True,
+        "coalesce": coalesce,
         "frame_hw": [args.frame_h, args.frame_w],
         "d2h_subsample": base["d2h_subsample"],
         "per_session_fps": [round(v, 2) for v in per_session],
@@ -598,13 +629,18 @@ def _engine_serving(args) -> dict:
                                if lat.size else None),
         "mean_coalesced_sessions": (round(float(bsz.mean()), 2)
                                     if bsz.size else None),
-        "methodology": "N real MuseReal sessions end to end (render + "
-                       "inference + compose threads, feature coalescer, "
-                       "shared scheduler with device paste composed into "
-                       "the super-batch step, queue transport); frames "
-                       "counted at transport egress; latency = per-request "
-                       "submit->resolve at the scheduler; composed frames "
-                       "stride-subsampled before D2H (tunnel workaround)",
+        "methodology": (
+            f"N real {family} engine sessions end to end (render + "
+            "inference + compose threads, queue transport); frames counted "
+            "at transport egress"
+            + (", shared scheduler with device paste composed into the "
+               "super-batch step; latency = per-request submit->resolve at "
+               "the scheduler; composed frames stride-subsampled before "
+               "D2H (tunnel workaround)" if coalesce else
+               "; per-session device steps (per-avatar weights: no "
+               "cross-session coalescing), host paste in the compose "
+               "thread")
+            + ("; feature coalescer" if family == "musetalk" else "")),
     }
     print(json.dumps(result), flush=True)
     if args.out:

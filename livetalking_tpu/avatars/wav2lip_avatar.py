@@ -45,18 +45,55 @@ _shared: dict = {"store": None, "scheduler": None}
 
 def get_shared_scheduler(model: Dict[str, Any], batch_size: int,
                          buckets=(1, 2, 4, 8),
-                         coalesce_window_s: float = 0.0) -> tuple:
-    """Lazily create the process-wide (AvatarStore, BatchScheduler) pair."""
+                         coalesce_window_s: float = 0.0,
+                         paste_spec: Dict[str, int] = None,
+                         d2h_subsample: int = 1) -> tuple:
+    """Lazily create the process-wide (AvatarStore, BatchScheduler) pair.
+
+    ``paste_spec`` ({"S","H","W","Ho","Wo"}, from the FIRST session's
+    avatar geometry) composes the device rect paste-back
+    (reference avatars/wav2lip_avatar.py:141-147 semantics, fused via
+    ops/pallas_blend.make_resize_paste_fn) into the super-batch step —
+    the coalesced path then returns finished FULL frames, like the
+    musetalk wiring."""
     from livetalking_tpu.engine.scheduler import SchedulerConfigError
 
     with _shared_lock:
         cfg = {"batch_size": batch_size, "buckets": tuple(buckets),
-               "coalesce_window_s": float(coalesce_window_s)}
+               "coalesce_window_s": float(coalesce_window_s),
+               "paste": (None if paste_spec is None
+                         else (paste_spec["H"], paste_spec["W"])),
+               "d2h_subsample": int(d2h_subsample)}
         if _shared["scheduler"] is None:
             store = AvatarStore(IMG_SIZE)
+            paste_fn = None
+            if paste_spec is not None:
+                from livetalking_tpu.ops.pallas_blend import (
+                    make_resize_paste_fn,
+                )
+
+                paste_fn = make_resize_paste_fn(
+                    paste_spec["S"], paste_spec["Ho"], paste_spec["Wo"],
+                    paste_spec["H"], paste_spec["W"])
+                _shared["paste_geom"] = dict(paste_spec)
+
+            def step_factory(n):
+                step = w2l.make_infer_fn(n, IMG_SIZE, model["dtype"])
+                if paste_fn is None:
+                    return step
+
+                def wrapped(params, buffer, idxs, mel):
+                    pred = step(params, buffer, idxs, mel)
+                    aux = store.aux  # re-read: grows as avatars register
+                    out = paste_fn(pred, aux["pb_frames"], idxs,
+                                   aux["pb_boxes"])
+                    if d2h_subsample > 1:  # dev/bench tunnel workaround
+                        out = out[:, ::d2h_subsample, ::d2h_subsample]
+                    return out
+                return wrapped
+
             sched = BatchScheduler(
-                model["params"], store,
-                lambda n: w2l.make_infer_fn(n, IMG_SIZE, model["dtype"]),
+                model["params"], store, step_factory,
                 batch_size, buckets=buckets,
                 coalesce_window_s=coalesce_window_s,
             )
@@ -83,6 +120,7 @@ def reset_shared_scheduler() -> None:
         _shared["scheduler"] = None
         _shared["store"] = None
         _shared.pop("config", None)
+        _shared.pop("paste_geom", None)
 
 
 def load_model(path: str, opt=None) -> Dict[str, Any]:
@@ -150,17 +188,52 @@ class LipReal(BaseAvatar):
 
         self._scheduler = None
         self._store_offset = 0
+        self._scheduler_composes = False
         if getattr(opt, "coalesce", False):
             from livetalking_tpu.engine.scheduler import (
+                SchedulerConfigError,
                 parse_buckets,
                 resolve_coalesce_window,
             )
 
+            paste_spec = None
+            use_paste = bool(getattr(opt, "device_paste_back", False))
+            if use_paste:
+                from livetalking_tpu.ops.pallas_blend import bucket_shape
+
+                fh, fw = self.frame_list_cycle[0].shape[:2]
+                ho, wo = bucket_shape(self.coord_list_cycle)  # (y1,y2,x1,x2)
+                paste_spec = {"S": IMG_SIZE, "H": fh, "W": fw,
+                              "Ho": ho, "Wo": wo}
             store, self._scheduler = get_shared_scheduler(
                 model, self.batch_size, buckets=parse_buckets(opt),
                 coalesce_window_s=resolve_coalesce_window(
-                    opt, self.batch_size))
-            self._store_offset, _ = store.add(avatar["avatar_id"], avatar["face_cycle_host"])
+                    opt, self.batch_size),
+                paste_spec=paste_spec,
+                d2h_subsample=int(getattr(opt, "d2h_subsample", 1)))
+            aux = None
+            if use_paste:
+                # validate against the SHARED bucket/frame geometry fixed
+                # by the first session BEFORE store.add (no remove API)
+                geom = _shared["paste_geom"]
+                fh, fw = self.frame_list_cycle[0].shape[:2]
+                if (fh, fw) != (geom["H"], geom["W"]):
+                    raise SchedulerConfigError(
+                        f"coalesce+device_paste_back: avatar frame "
+                        f"{fw}x{fh} != shared {geom['W']}x{geom['H']}")
+                for i, (y1, y2, x1, x2) in enumerate(self.coord_list_cycle):
+                    if y2 - y1 > geom["Ho"] or x2 - x1 > geom["Wo"]:
+                        raise SchedulerConfigError(
+                            f"coalesce+device_paste_back: face box "
+                            f"{x2 - x1}x{y2 - y1} (frame {i}) exceeds the "
+                            f"shared bucket {geom['Wo']}x{geom['Ho']}")
+                aux = {
+                    "pb_frames": np.stack(self.frame_list_cycle).astype(np.uint8),
+                    "pb_boxes": np.asarray(self.coord_list_cycle, np.int32),
+                }
+                self._scheduler_composes = True
+            self._store_offset, _ = store.add(
+                avatar["avatar_id"], avatar["face_cycle_host"], aux=aux)
         else:
             self._step = w2l.make_infer_fn(self.batch_size, IMG_SIZE, model["dtype"])
 
@@ -211,7 +284,7 @@ class LipReal(BaseAvatar):
         return np.asarray(pred)  # (B, 256, 256, 3) uint8
 
     def paste_back_frame(self, pred_frame: np.ndarray, idx: int) -> np.ndarray:
-        if self._device_paste is not None:
+        if self._device_paste is not None or self._scheduler_composes:
             return pred_frame  # already a full frame (engine normalizes layout)
         y1, y2, x1, x2 = self.coord_list_cycle[idx]
         frame = self.frame_list_cycle[idx].copy()

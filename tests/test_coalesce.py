@@ -151,3 +151,65 @@ def test_musetalk_sessions_coalesce(tmp_path, monkeypatch):
     finally:
         q1.set(); q2.set()
         t1.join(timeout=10); t2.join(timeout=10)
+
+
+def test_wav2lip_coalesced_device_paste(stack):
+    """r4 (VERDICT item 7 prep): --coalesce + --device_paste_back composed
+    for wav2lip — the shared scheduler's super-batch step runs the fused
+    rect resize+paste (reference avatars/wav2lip_avatar.py:141-147
+    semantics) and sessions stream finished FULL frames; the host
+    compose stage is identity."""
+    import numpy as np
+
+    from livetalking_tpu.avatars.wav2lip_avatar import (
+        _shared,
+        reset_shared_scheduler,
+    )
+
+    model, a1, a2 = stack
+    reset_shared_scheduler()
+
+    def mk(sid, av):
+        o = default_opt(
+            transport="queue", tts="dummy", batch_size=B, dtype="float32",
+            coalesce=True, device_paste_back=True, sessionid=sid,
+        )
+        return registry.create("avatar", "wav2lip", opt=o, model=model,
+                               avatar=av)
+
+    s1, s2 = mk("wdp_a", a1), mk("wdp_b", a2)
+    try:
+        assert s1._scheduler is s2._scheduler is not None
+        assert s1._scheduler_composes and s2._scheduler_composes
+        assert "pb_frames" in _shared["store"].aux
+        assert "pb_boxes" in _shared["store"].aux
+        probe = np.zeros((480, 640, 3), "uint8")
+        assert s1.paste_back_frame(probe, 0) is probe  # identity compose
+
+        q1, q2 = Event(), Event()
+        t1 = Thread(target=s1.render, args=(q1,), daemon=True)
+        t2 = Thread(target=s2.render, args=(q2,), daemon=True)
+        t1.start(); t2.start()
+        try:
+            s1.put_msg_txt("wav2lip device paste under coalesce one")
+            s2.put_msg_txt("wav2lip device paste under coalesce two")
+            deadline = time.time() + 240
+            f1, f2 = [], []
+            # wait until a SPEECH super-batch actually resolved (silence
+            # frames replay the idle cycle and never touch the scheduler)
+            while time.time() < deadline and (
+                    len(f1) < 4 or len(f2) < 4
+                    or s1._scheduler.batches_run == 0):
+                for sess, acc in ((s1, f1), (s2, f2)):
+                    try:
+                        acc.append(sess.output.video_queue.get(timeout=0.2))
+                    except queue.Empty:
+                        pass
+            assert len(f1) >= 4 and len(f2) >= 4
+            assert f1[0].shape == (480, 640, 3)  # full frames egress
+            assert s1._scheduler.batches_run > 0
+        finally:
+            q1.set(); q2.set()
+            t1.join(timeout=15); t2.join(timeout=15)
+    finally:
+        reset_shared_scheduler()
