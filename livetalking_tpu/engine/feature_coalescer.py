@@ -53,10 +53,22 @@ class FeatureCoalescer:
         # compile grace (same contract as BatchScheduler): first-contact
         # bucket compiles — and waiting behind ANOTHER worker's compile
         # on the shared device — can take minutes; encode() must not
-        # misread that as a wedged device
+        # misread that as a wedged device. Scoped like the scheduler's
+        # (r4): an in-progress flag bounded by first_contact_timeout plus
+        # a short post-compile collection window; completions of other
+        # batches never shrink an open compile window.
         self.first_contact_timeout = 900.0
+        self.post_compile_grace = 120.0
         self._warm: set = set()
+        self._compiling = False
+        self._compile_started = 0.0
         self._grace_deadline = 0.0
+
+    def _in_grace(self, now: float) -> bool:
+        if self._compiling and (now - self._compile_started
+                                < self.first_contact_timeout):
+            return True
+        return now < self._grace_deadline
 
     def submit(self, wav: np.ndarray) -> Future:
         assert wav.shape == (self.window_samples,), wav.shape
@@ -79,7 +91,8 @@ class FeatureCoalescer:
             try:
                 return fut.result(timeout=2.0)
             except FutureTimeout:
-                if time.monotonic() < max(deadline, self._grace_deadline):
+                now = time.monotonic()
+                if now < deadline or self._in_grace(now):
                     continue
                 raise
 
@@ -143,9 +156,10 @@ class FeatureCoalescer:
                 except Empty:
                     break
             bucket = next(b for b in self.buckets if b >= len(reqs))
-            if bucket not in self._warm:
-                self._grace_deadline = (time.monotonic()
-                                        + self.first_contact_timeout)
+            cold = bucket not in self._warm
+            if cold:
+                self._compile_started = time.monotonic()
+                self._compiling = True
             if bucket not in self._fns:
                 self._fns[bucket] = self._factory(bucket)
             wavs = np.zeros((bucket, self.window_samples), np.float32)
@@ -154,8 +168,6 @@ class FeatureCoalescer:
             try:
                 out = self._fns[bucket](wavs)
                 self._warm.add(bucket)
-                self._grace_deadline = min(self._grace_deadline,
-                                           time.monotonic() + 120.0)
                 for i, (_w, f) in enumerate(reqs):
                     if not f.done():
                         f.set_result(out[i])  # device-resident row
@@ -164,6 +176,11 @@ class FeatureCoalescer:
                 for _w, f in reqs:
                     if not f.done():
                         f.set_exception(e)
+            finally:
+                if cold:
+                    self._grace_deadline = (time.monotonic()
+                                            + self.post_compile_grace)
+                    self._compiling = False
             self.batches_run += 1
             self.requests_run += len(reqs)
         logger.info("feature coalescer stop (batches=%d requests=%d)",
