@@ -381,7 +381,15 @@ def _engine_serving(args) -> dict:
     # HBM — measured "Used 16.03G of 15.75G hbm" compile OOM — so >8
     # sessions ride multiple in-flight 8-buckets instead
     cap = max(1, int(args.max_bucket))
-    buckets = sorted({b for b in (1, 2, 4, 8, N) if b <= min(N, cap)})
+    # with pipelined sessions (inflight 2) up to N*inflight requests are
+    # outstanding at once: a bucket that size lets the scheduler run ONE
+    # wide super-batch per period instead of two half-width rounds
+    # (fewer dispatch/D2H round-trips) — bounded by --max_bucket, which
+    # exists because bucket-16 at B=16 (256 frames, 480x640 paste) OOMs
+    # v5e HBM
+    wide = N * max(1, args.session_inflight)
+    buckets = sorted({b for b in (1, 2, 4, 8, N, wide)
+                      if b <= min(wide, cap)})
     tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
     coalesce = family != "ultralight"  # per-avatar weights: no coalescing
     base = dict(
