@@ -131,21 +131,28 @@ def get_shared_feature_coalescer(model: Dict[str, Any], opt):
         make_batched_encode_factory,
     )
     from livetalking_tpu.engine.feature_coalescer import FeatureCoalescer
-    from livetalking_tpu.engine.scheduler import SchedulerConfigError, parse_buckets
+    from livetalking_tpu.engine.scheduler import (
+        SchedulerConfigError,
+        parse_buckets,
+        resolve_coalesce_window,
+    )
 
     with _shared_lock:
         cfg = {"batch_size": opt.batch_size, "l": opt.l, "r": opt.r,
                "fps": int(getattr(opt, "fps", 25)),
                "whisper_short_window": bool(getattr(
                    opt, "whisper_short_window", False)),
-               "buckets": parse_buckets(opt)}
+               "buckets": parse_buckets(opt),
+               "coalesce_window_s": resolve_coalesce_window(
+                   opt, opt.batch_size)}
         if _shared.get("feat_coalescer") is None:
             factory, n_samples = make_batched_encode_factory(
                 model["whisper_params"], model["whisper_cfg"],
                 batch_size=cfg["batch_size"], l=cfg["l"], r=cfg["r"],
                 short_window=cfg["whisper_short_window"], fps=cfg["fps"])
             fc = FeatureCoalescer(factory, n_samples,
-                                  buckets=cfg["buckets"])
+                                  buckets=cfg["buckets"],
+                                  coalesce_window_s=cfg["coalesce_window_s"])
             fc.start()
             fc.prewarm()  # background-compile every bucket program
             _shared["feat_coalescer"] = fc

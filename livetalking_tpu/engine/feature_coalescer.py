@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeout
 from queue import Empty, Queue
@@ -40,9 +41,20 @@ class FeatureCoalescer:
 
     def __init__(self, batched_fn_factory: Callable[[int], Callable],
                  window_samples: int,
-                 buckets: Sequence[int] = (1, 2, 4, 8)):
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 coalesce_window_s: float = 0.0):
         self.window_samples = int(window_samples)
         self.buckets = sorted(buckets)
+        # session-alignment window (same contract as
+        # BatchScheduler.coalesce_window_s): real-time-paced sessions
+        # request encodes staggered across the period, and
+        # dispatch-on-arrival then runs tiny encode batches (measured
+        # 2.1/8 mean at batch_size=4 — dozens of extra device programs
+        # per second). Hold the first request up to this window for the
+        # other active sessions; the adaptive target means a lone
+        # session never waits.
+        self.coalesce_window_s = float(coalesce_window_s)
+        self._launch_sizes: "deque[int]" = deque(maxlen=16)
         self._factory = batched_fn_factory
         self._fns: Dict[int, Callable] = {}  # lazy per-bucket compile
         self._queue: "Queue[Tuple[np.ndarray, Future]]" = Queue()
@@ -150,11 +162,29 @@ class FeatureCoalescer:
             except Empty:
                 continue
             reqs = [first]
-            while len(reqs) < self.buckets[-1]:
+            maxb = self.buckets[-1]
+            # alignment hold: wait up to the window for the other active
+            # sessions' requests — but only as long as recent rounds
+            # prove they exist (adaptive target), so a lone session
+            # never waits
+            target = min(max(self._launch_sizes, default=1), maxb)
+            deadline = time.monotonic() + self.coalesce_window_s
+            while len(reqs) < maxb and not self._quit.is_set():
                 try:
                     reqs.append(self._queue.get_nowait())
+                    continue
                 except Empty:
+                    pass
+                if len(reqs) >= target:
                     break
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                try:
+                    reqs.append(self._queue.get(timeout=min(wait, 0.01)))
+                except Empty:
+                    pass
+            self._launch_sizes.append(len(reqs))
             bucket = next(b for b in self.buckets if b >= len(reqs))
             cold = bucket not in self._warm
             if cold:

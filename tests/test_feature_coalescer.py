@@ -162,3 +162,37 @@ def test_batched_whisper_factory_matches_solo(rng):
         solo = np.asarray(wf._fn(jnp.asarray(wavs[i])))
         np.testing.assert_allclose(np.asarray(batched[i]), solo,
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_coalescer_window_aligns_staggered_sessions():
+    """r4: paced sessions request encodes staggered across the period;
+    with an alignment window and coalescing history, staggered requests
+    land on ONE batched encode — and a lone session never waits."""
+    calls = []
+
+    def factory(k):
+        def fn(wavs):
+            calls.append((k, wavs.shape[0]))
+            return wavs * 2.0
+        return fn
+
+    fc = FeatureCoalescer(factory, window_samples=4, buckets=(1, 2, 4),
+                          coalesce_window_s=0.4)
+    fc.start()
+    try:
+        # no history: a lone request returns without waiting the window
+        t0 = time.monotonic()
+        fc.encode(np.zeros(4, np.float32))
+        assert time.monotonic() - t0 < 0.3, "lone session waited the window"
+        # with 2-wide history, two staggered requests share one batch
+        fc._launch_sizes.append(2)
+        f1 = fc.submit(np.full(4, 1, np.float32))
+        time.sleep(0.1)
+        f2 = fc.submit(np.full(4, 2, np.float32))
+        o1 = np.asarray(f1.result(timeout=10))
+        o2 = np.asarray(f2.result(timeout=10))
+        np.testing.assert_allclose(o1, np.full(4, 2.0, np.float32))
+        np.testing.assert_allclose(o2, np.full(4, 4.0, np.float32))
+        assert calls[-1][0] == 2, calls  # one bucket-2 round, not two singles
+    finally:
+        fc.stop()
