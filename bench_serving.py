@@ -463,6 +463,23 @@ def _engine_serving(args) -> dict:
     sched = plugin._shared["scheduler"] if coalesce else None
     if coalesce:
         assert sessions[0]._scheduler_composes, "device paste not composed"
+        # compile every bucket program BEFORE traffic: lazily-landing
+        # first-contact compiles (bucket ladder + whisper-encode buckets)
+        # otherwise stall requests INSIDE the timed window (measured
+        # B=8: p90 13.8 s, 5 fps/session — all compile wait)
+        print("# prewarming scheduler buckets...", flush=True)
+        feat_shape = (tuple(sessions[0].asr._zero.shape[1:])
+                      if family == "musetalk" else (80, 16))
+        sched.prewarm(feat_shape)
+        fc = plugin._shared.get("feat_coalescer")
+        if fc is not None:
+            print("# waiting for feature-coalescer prewarm...", flush=True)
+            deadline = time.time() + 1200
+            while (not set(fc.buckets) <= fc._warm
+                   and time.time() < deadline):
+                time.sleep(1.0)
+            if not set(fc.buckets) <= fc._warm:
+                raise RuntimeError("feature coalescer prewarm timed out")
 
     psnr_int8_vs_bf16 = None
     if use_int8 and args.calibrated:

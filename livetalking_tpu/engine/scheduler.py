@@ -237,6 +237,27 @@ class BatchScheduler:
         """submit + grace-aware wait (synchronous convenience)."""
         return self.wait(self.submit(global_idxs, mel), timeout)
 
+    def prewarm(self, feature_shape: Tuple[int, ...],
+                dtype=np.float32) -> None:
+        """Compile + execute every bucket's super-batch program on zero
+        inputs (``feature_shape`` = one request's per-frame feature
+        trailing shape, e.g. (50, 384) for musetalk whisper context or
+        (80, 16) for wav2lip mel). Benches and servers call this before
+        opening traffic so no first-contact compile ever lands inside a
+        measurement window or a live session's first utterance."""
+        import jax.numpy as jnp
+
+        B = self.batch_size
+        for b in self.buckets:
+            if b in self._warm_buckets:
+                continue
+            idxs = jnp.zeros((b * B,), jnp.int32)
+            feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
+            out = self._steps[b](self.params, self.store.buffer, idxs, feats)
+            np.asarray(out)  # block: compile + one execution done
+            self._warm_buckets.add(b)
+            logger.info("scheduler prewarm: bucket %d ready", b)
+
     # -- worker -----------------------------------------------------------
     def start(self) -> None:
         if self._thread is not None:

@@ -260,6 +260,23 @@ def test_stop_fails_held_batches_and_stays_bounded(store):
     assert outcomes[0] == "ok", outcomes
 
 
+def test_prewarm_compiles_every_bucket(store):
+    """r4: prewarm() runs every bucket program once so first-contact
+    compiles never land inside live traffic or a measurement window."""
+    params = {"gain": jnp.asarray(1.0)}
+    s = BatchScheduler(params, store, tiny_step_factory(params), B,
+                       buckets=(1, 2, 4))
+    s.prewarm((4, 4))
+    assert s._warm_buckets == {1, 2, 4}
+    s.start()
+    try:
+        mel = np.zeros((B, 4, 4), np.float32)
+        out = s.infer(np.asarray([0, 1], np.int32), mel)
+        assert out.shape == (B, S, S, 3)
+    finally:
+        s.stop()
+
+
 def test_coalesce_window_aligns_idle_device_sessions(store):
     """r4 low-latency tier: with the device IDLE (real-time-paced serving,
     not the saturated bench), staggered submissions within the alignment
