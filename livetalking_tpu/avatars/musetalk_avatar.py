@@ -143,8 +143,12 @@ def get_shared_feature_coalescer(model: Dict[str, Any], opt):
                "whisper_short_window": bool(getattr(
                    opt, "whisper_short_window", False)),
                "buckets": parse_buckets(opt),
-               "coalesce_window_s": resolve_coalesce_window(
-                   opt, opt.batch_size)}
+               # NOT resolve_coalesce_window: a feature-side hold
+               # serializes into the request critical path (measured
+               # 24.4 -> 22.7 fps/session at B=4 with an auto window);
+               # encode alignment is opt-in via --feature_window_ms
+               "coalesce_window_s": max(0.0, float(getattr(
+                   opt, "feature_window_ms", 0.0) or 0.0) / 1000.0)}
         if _shared.get("feat_coalescer") is None:
             factory, n_samples = make_batched_encode_factory(
                 model["whisper_params"], model["whisper_cfg"],

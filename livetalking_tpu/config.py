@@ -80,6 +80,15 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
         help="what to do when a new session exceeds measured capacity: "
              "warn (admit + log + flag in /api/admin/sessions), strict "
              "(reject with a clean error envelope), off")
+    add("--feature_window_ms", type=float, default=0.0,
+        help="alignment window for the cross-session FEATURE coalescer "
+             "(whisper encodes), in ms. Default 0 (dispatch on arrival): "
+             "holding encodes serializes into the request critical path "
+             "— measured at batch_size=4, a one-period feature window "
+             "dropped 24.4 -> 22.7 fps/session with 8%% starved ticks "
+             "even though encode coalescing improved 2.1 -> 6.8 of 8 "
+             "(SERVING_r04 runs); the scheduler window (below) is the "
+             "one that aligns sessions profitably")
     add("--coalesce_window_ms", type=float, default=-1.0,
         help="idle-device session-alignment window for the coalescing "
              "scheduler, in ms. While the device is idle and a "
