@@ -328,7 +328,7 @@ def main() -> None:
     _forward_subprocess([sys.executable, me, "--metric", "ernerf"],
                         left(600), "ernerf128_renderfps_per_chip")
     _forward_subprocess([sys.executable, os.path.join(here, "benchmark_asr.py"),
-                         "--runs", "3"], left(600), "whisper_tiny_stt_latency")
+                         "--runs", "3"], left(900), "whisper_tiny_stt_latency")
     # true egress finalfps LAST (the driver parses the final JSON line):
     # N real engine sessions, device paste composed into the coalesced
     # super-batch, frames counted at transport egress (compose INCLUDED —
