@@ -245,12 +245,30 @@ async def admin_metrics(request: web.Request) -> web.Response:
                 mod = importlib.import_module(f"livetalking_tpu.avatars.{family}")
                 sched = mod._shared.get("scheduler")
                 if sched is not None:
-                    data[f"{family.split('_')[0]}_scheduler"] = {
+                    info = {
                         "batches_run": sched.batches_run,
                         "requests_run": sched.requests_run,
                         "frames_run": sched.frames_run,
                         "buckets": list(sched.buckets),
                     }
+                    # rolling submit->resolve latency + coalescing health
+                    # (the number to watch per docs/serving.md)
+                    lat = list(sched.latency_s)
+                    if lat:
+                        import numpy as _np
+
+                        arr = _np.asarray(lat, _np.float64)
+                        info["latency_ms"] = {
+                            "p50": round(float(_np.percentile(arr, 50)) * 1e3, 1),
+                            "p90": round(float(_np.percentile(arr, 90)) * 1e3, 1),
+                            "p99": round(float(_np.percentile(arr, 99)) * 1e3, 1),
+                            "n": int(arr.size),
+                        }
+                    bsz = list(sched.batch_sizes)
+                    if bsz:
+                        info["mean_coalesced_sessions"] = round(
+                            sum(bsz) / len(bsz), 2)
+                    data[f"{family.split('_')[0]}_scheduler"] = info
             except Exception:
                 pass
         return json_ok(data=data)
