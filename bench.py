@@ -265,7 +265,7 @@ def _forward_subprocess(argv, timeout, label):
         print(json.dumps({"metric": label, "error": str(e)[:300]}), flush=True)
 
 
-def _device_reachable(timeout: float = 240.0) -> bool:
+def _device_reachable(timeout: float = 150.0) -> bool:
     """Preflight: the axon TPU tunnel can go fully down (trivial ops hang
     forever at 0% CPU — see CLAUDE.md). Probe with a tiny matmul in a
     subprocess; only a TIMEOUT means unreachable (a nonzero rc could be an
@@ -280,6 +280,31 @@ def _device_reachable(timeout: float = 240.0) -> bool:
         return False
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """Probe-retry loop: observed outages (2026-08-17, -19, -20) lasted
+    0.5-3 h and then recovered, so a bench run landing inside one should
+    keep probing for a while instead of zeroing every metric. Spends at
+    most ``budget_s`` (wall, including probe time) before giving up."""
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        if _device_reachable():
+            if attempt:
+                print(json.dumps({"note": "device recovered after "
+                                  f"{time.monotonic() - t0:.0f}s of probing"}),
+                      flush=True)
+            return True
+        attempt += 1
+        remaining = budget_s - (time.monotonic() - t0)
+        if remaining < 60.0:
+            return False
+        print(json.dumps({"note": f"device probe {attempt} timed out "
+                          "(TPU tunnel down) — retrying",
+                          "remaining_probe_budget_s": round(remaining)}),
+              flush=True)
+        time.sleep(min(60.0, remaining))
+
+
 def main() -> None:
     me = os.path.abspath(__file__)
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
@@ -289,7 +314,13 @@ def main() -> None:
          "ernerf": bench_ernerf}[sys.argv[2]]()
         return
 
-    if not _device_reachable():
+    # Global budget declared up front so the preflight can spend a bounded
+    # slice of it probing through an outage window (see BENCH_BUDGET_S
+    # below — the per-metric caps draw from the same wall clock).
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+    t_start = time.monotonic()
+
+    if not _wait_for_device(budget_s=min(1200.0, budget * 0.35)):
         for label in ("wav2lip256_inferfps_per_chip",
                       "musetalk_int8_inferfps_per_chip",
                       "ultralight_inferfps_per_chip",
@@ -298,17 +329,17 @@ def main() -> None:
                       "musetalk_engine_egress_finalfps_per_session"):
             print(json.dumps({"metric": label, "error":
                               "device unreachable: trivial device op hung "
-                              ">240s (TPU tunnel down)"}), flush=True)
+                              "on every probe across the retry window "
+                              "(TPU tunnel down)"}), flush=True)
         return
 
-    # Global budget (r3 verdict: the driver killed bench.py at its own
+    # Per-metric caps (r3 verdict: the driver killed bench.py at its own
     # timeout before the engine-egress metric printed — rc=124 and the
-    # flagship metric missing from BENCH_r03.json). Every subprocess now
-    # draws from one budget, with a RESERVE carved out so the
-    # engine-egress run — the LAST line, which the driver parses — always
-    # gets its slice even if earlier compiles run long.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
-    t_start = time.monotonic()
+    # flagship metric missing from BENCH_r03.json). Every subprocess
+    # draws from the one global budget above (probe time included), with
+    # a RESERVE carved out so the engine-egress run — the LAST line,
+    # which the driver parses — always gets its slice even if earlier
+    # compiles run long.
     engine_reserve = 1500.0
 
     def left(cap: float, reserve: float = engine_reserve) -> float:
