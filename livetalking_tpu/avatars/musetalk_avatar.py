@@ -557,6 +557,15 @@ class MuseReal(BaseAvatar):
         )
         self.asr.warm_up()
 
+        # production prewarm: background-compile every bucket program now
+        # that this avatar's cycle (and paste aux) is registered, so no
+        # live session's first utterance lands on a cold bucket (benches
+        # call the synchronous prewarm explicitly and will block on this
+        # one's lock until the buckets are genuinely warm)
+        if (self._scheduler is not None
+                and int(getattr(opt, "scheduler_prewarm", 1))):
+            self._scheduler.prewarm_async(tuple(self.asr._zero.shape[1:]))
+
     def submit_batch(self, index: int, audiofeat_batch):
         """Pipelined submission into the shared scheduler: the session
         keeps --session_inflight super-batch requests in flight so its

@@ -255,6 +255,14 @@ class LipReal(BaseAvatar):
         self.asr = MelFeatures(opt, self)
         self.asr.warm_up()
 
+        # production prewarm: background-compile every bucket program now
+        # that this avatar's cycle (and paste aux) is registered — same
+        # policy as the musetalk wiring; (80, 16) is the per-frame mel
+        # window shape the scheduler step takes
+        if (self._scheduler is not None
+                and int(getattr(opt, "scheduler_prewarm", 1))):
+            self._scheduler.prewarm_async((80, 16))
+
     def submit_batch(self, index: int, audiofeat_batch):
         """Pipelined submission into the shared scheduler (see
         musetalk_avatar.submit_batch); sync fallback when not coalesced."""

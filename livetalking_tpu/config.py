@@ -96,6 +96,12 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
              "long for other sessions to land on the same batch (a lone "
              "session never waits). -1 = auto (one request period, "
              "1000*batch_size/fps); 0 = dispatch immediately when idle")
+    add("--scheduler_prewarm", type=int, default=1,
+        help="background-compile every coalescing-bucket super-batch "
+             "program as soon as the first session registers (1, "
+             "default) so later sessions never pay a first-contact "
+             "compile inside a live utterance; 0 = compile buckets "
+             "lazily under the scheduler's compile-grace window")
     add("--session_inflight", type=int, default=2,
         help="per-session inference batches kept in flight (>=1). With "
              "the shared scheduler a synchronous loop is latency-bound "

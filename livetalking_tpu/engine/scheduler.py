@@ -188,6 +188,9 @@ class BatchScheduler:
         self.first_contact_timeout = 900.0
         self.post_compile_grace = 120.0
         self._warm_buckets: set = set()
+        self._warm_shape: Optional[tuple] = None
+        self._prewarm_lock = threading.Lock()
+        self._prewarm_thread: Optional[threading.Thread] = None
         self._compiling = False
         self._compile_started = 0.0
         self._grace_deadline = 0.0
@@ -237,6 +240,23 @@ class BatchScheduler:
         """submit + grace-aware wait (synchronous convenience)."""
         return self.wait(self.submit(global_idxs, mel), timeout)
 
+    def _is_warm(self, bucket: int, buffer) -> bool:
+        """A bucket's program is warm only for the CURRENT store buffer
+        shape: a later avatar registration grows the shared cycle buffer,
+        which retraces every bucket program. Treating those dispatches as
+        cold re-opens the compile-grace window for the recompile —
+        otherwise waiters would FutureTimeout at their normal bound in
+        the middle of a legitimate multi-minute remote compile."""
+        return (self._warm_shape == tuple(buffer.shape)
+                and bucket in self._warm_buckets)
+
+    def _mark_warm(self, bucket: int, buffer) -> None:
+        shape = tuple(buffer.shape)
+        if self._warm_shape != shape:
+            self._warm_buckets.clear()
+            self._warm_shape = shape
+        self._warm_buckets.add(bucket)
+
     def prewarm(self, feature_shape: Tuple[int, ...],
                 dtype=np.float32) -> None:
         """Compile + execute every bucket's super-batch program on zero
@@ -244,19 +264,53 @@ class BatchScheduler:
         trailing shape, e.g. (50, 384) for musetalk whisper context or
         (80, 16) for wav2lip mel). Benches and servers call this before
         opening traffic so no first-contact compile ever lands inside a
-        measurement window or a live session's first utterance."""
+        measurement window or a live session's first utterance
+        (measured cost of skipping it: B=8 paced read p90 13.8 s —
+        pure compile wait). Lock-serialized so a synchronous call made
+        while ``prewarm_async`` is still compiling blocks until every
+        bucket is genuinely warm rather than returning early."""
         import jax.numpy as jnp
 
         B = self.batch_size
-        for b in self.buckets:
-            if b in self._warm_buckets:
-                continue
-            idxs = jnp.zeros((b * B,), jnp.int32)
-            feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
-            out = self._steps[b](self.params, self.store.buffer, idxs, feats)
-            np.asarray(out)  # block: compile + one execution done
-            self._warm_buckets.add(b)
-            logger.info("scheduler prewarm: bucket %d ready", b)
+        with self._prewarm_lock:
+            for b in self.buckets:
+                if self._quit.is_set():
+                    continue
+                buffer = self.store.buffer  # re-read: may grow mid-pass
+                if self._is_warm(b, buffer):
+                    continue
+                idxs = jnp.zeros((b * B,), jnp.int32)
+                feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
+                out = self._steps[b](self.params, buffer, idxs, feats)
+                np.asarray(out)  # block: compile + one execution done
+                self._mark_warm(b, buffer)
+                logger.info("scheduler prewarm: bucket %d ready", b)
+
+    def prewarm_async(self, feature_shape: Tuple[int, ...],
+                      dtype=np.float32) -> threading.Thread:
+        """Background ``prewarm`` for the production server path: kicked
+        by the first session right after its avatar registers in the
+        store, so later sessions (and this one's later buckets) find
+        their programs compiled instead of paying first-contact grace
+        inside a live utterance. Compilation happens on the remote
+        compile service, not the device, so it does not steal device
+        time from in-flight traffic; an avatar registered AFTER the
+        prewarm only grows ``store.aux`` (host side) and reuses the same
+        programs."""
+        t = threading.Thread(target=self._prewarm_quiet,
+                             args=(tuple(feature_shape), dtype),
+                             daemon=True, name="scheduler-prewarm")
+        t.start()
+        self._prewarm_thread = t
+        return t
+
+    def _prewarm_quiet(self, feature_shape, dtype) -> None:
+        try:
+            self.prewarm(feature_shape, dtype)
+        except Exception:
+            # best-effort: a failed background prewarm just means the
+            # bucket compiles lazily under the normal grace window
+            logger.exception("scheduler prewarm failed")
 
     # -- worker -----------------------------------------------------------
     def start(self) -> None:
@@ -270,6 +324,12 @@ class BatchScheduler:
 
     def stop(self) -> None:
         self._quit.set()
+        if self._prewarm_thread is not None:
+            # a background prewarm skips its remaining buckets on quit;
+            # bound the drain of the one bucket it may be mid-step on so
+            # interpreter teardown never overlaps a live device call
+            self._prewarm_thread.join(timeout=130)
+            self._prewarm_thread = None
         if self._thread is not None:
             # the worker's shutdown path fails still-held batches (it
             # never launches new device work on quit) and then drains the
@@ -313,7 +373,8 @@ class BatchScheduler:
         k = len(reqs)
         bucket = next(b for b in self.buckets if b >= k)
         B = self.batch_size
-        cold = bucket not in self._warm_buckets
+        buffer = self.store.buffer
+        cold = not self._is_warm(bucket, buffer)
         if cold:
             # cold bucket: the step call below blocks this thread for the
             # trace+compile; raise the in-progress flag so waiting
@@ -331,7 +392,7 @@ class BatchScheduler:
             mels.append(jnp.zeros((pad * B,) + mels[0].shape[1:], jnp.float32))
         mel = jnp.concatenate(mels, axis=0).astype(jnp.float32)
         try:
-            out = self._steps[bucket](self.params, self.store.buffer,
+            out = self._steps[bucket](self.params, buffer,
                                       jnp.asarray(idxs), mel)
         finally:
             if cold:
@@ -340,7 +401,7 @@ class BatchScheduler:
                 self._grace_deadline = (time.monotonic()
                                         + self.post_compile_grace)
                 self._compiling = False
-        self._warm_buckets.add(bucket)  # returned => compile done
+        self._mark_warm(bucket, buffer)  # returned => compile done
         return out
 
     def _resolve(self, dev_frames, reqs: List[_Request]) -> None:

@@ -277,6 +277,95 @@ def test_prewarm_compiles_every_bucket(store):
         s.stop()
 
 
+def test_prewarm_async_warms_and_sync_call_blocks_on_it(store):
+    """r4 production path: the first session kicks prewarm_async; a
+    synchronous prewarm (the bench) made while it runs must block until
+    every bucket is genuinely warm, not return early on the lock."""
+    import threading
+
+    params = {"gain": jnp.asarray(1.0)}
+    gate = threading.Event()
+    base = tiny_step_factory(params)
+
+    def gated_factory(total):
+        step = base(total)
+
+        def wrapped(p, buffer, idxs, mel):
+            gate.wait(timeout=10.0)
+            return step(p, buffer, idxs, mel)
+        return wrapped
+
+    s = BatchScheduler(params, store, gated_factory, B, buckets=(1, 2, 4))
+    t = s.prewarm_async((4, 4))
+    assert s._warm_buckets != {1, 2, 4}  # still gated
+    gate.set()
+    s.prewarm((4, 4))  # must block until the async pass finishes
+    assert s._warm_buckets == {1, 2, 4}
+    t.join(timeout=10.0)
+    assert not t.is_alive()
+    s.start()
+    s.stop()  # also drains _prewarm_thread bookkeeping
+
+
+def test_prewarm_async_aborts_remaining_buckets_on_stop(store):
+    """stop() must not leave a background prewarm issuing device work:
+    buckets not yet compiled when _quit is set are skipped."""
+    import threading
+
+    params = {"gain": jnp.asarray(1.0)}
+    release = threading.Event()
+    base = tiny_step_factory(params)
+    calls = []
+
+    def gated_factory(total):
+        step = base(total)
+
+        def wrapped(p, buffer, idxs, mel):
+            calls.append(total)
+            release.wait(timeout=10.0)
+            return step(p, buffer, idxs, mel)
+        return wrapped
+
+    s = BatchScheduler(params, store, gated_factory, B, buckets=(1, 2, 4))
+    s.start()
+    s.prewarm_async((4, 4))
+    deadline = time.monotonic() + 5.0
+    while not calls and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert calls  # bucket 1's program is mid-"compile"
+    s._quit.set()
+    release.set()
+    s.stop()
+    # bucket 1 finished (it was in progress); 2 and 4 were skipped
+    assert 1 in s._warm_buckets
+    assert s._warm_buckets != {1, 2, 4}
+
+
+def test_warm_buckets_invalidated_by_store_growth(store):
+    """A later avatar registration grows the shared cycle buffer, which
+    retraces every bucket program. Warmth is keyed to the buffer shape
+    so the recompile runs as a COLD dispatch (compile-grace open)
+    instead of timing out waiters mid-compile, and results stay correct
+    against the grown buffer."""
+    params = {"gain": jnp.asarray(1.0)}
+    s = BatchScheduler(params, store, tiny_step_factory(params), B,
+                       buckets=(1, 2))
+    s.prewarm((4, 4))
+    assert s._is_warm(1, store.buffer) and s._is_warm(2, store.buffer)
+    rng = np.random.default_rng(1)
+    store.add("a3", rng.integers(0, 200, (3, S, S, 3), dtype=np.uint8))
+    assert not s._is_warm(1, store.buffer)  # growth invalidates warmth
+    s.start()
+    try:
+        mel = np.zeros((B, 4, 4), np.float32)
+        idxs = np.asarray([10, 11], np.int32)  # rows of the NEW avatar
+        out = s.infer(idxs, mel)
+        np.testing.assert_array_equal(out, _expected(store, params, idxs, mel))
+    finally:
+        s.stop()
+    assert s._is_warm(1, store.buffer)  # re-warmed at the grown shape
+
+
 def test_coalesce_window_aligns_idle_device_sessions(store):
     """r4 low-latency tier: with the device IDLE (real-time-paced serving,
     not the saturated bench), staggered submissions within the alignment
