@@ -87,6 +87,9 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--models_dir", type=str, default="./models")
     args = ap.parse_args()
+    # budget-aware degradation (bench.py sets BENCH_REMAINING_S)
+    if float(os.environ.get("BENCH_REMAINING_S", "1e9")) < 360.0:
+        args.runs = min(args.runs, 1)
 
     if args.wav and os.path.exists(args.wav):
         from livetalking_tpu.utils.audio import load_pcm16k

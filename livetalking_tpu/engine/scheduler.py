@@ -189,8 +189,12 @@ class BatchScheduler:
         self.post_compile_grace = 120.0
         self._warm_buckets: set = set()
         self._warm_shape: Optional[tuple] = None
+        # guards _warm_shape/_warm_buckets: mutated from the worker
+        # thread (_dispatch -> _mark_warm) AND the prewarm thread
+        self._warm_lock = threading.Lock()
         self._prewarm_lock = threading.Lock()
-        self._prewarm_thread: Optional[threading.Thread] = None
+        self._spawn_lock = threading.Lock()  # guards _prewarm_threads only
+        self._prewarm_threads: List[threading.Thread] = []
         self._compiling = False
         self._compile_started = 0.0
         self._grace_deadline = 0.0
@@ -247,15 +251,25 @@ class BatchScheduler:
         cold re-opens the compile-grace window for the recompile —
         otherwise waiters would FutureTimeout at their normal bound in
         the middle of a legitimate multi-minute remote compile."""
-        return (self._warm_shape == tuple(buffer.shape)
-                and bucket in self._warm_buckets)
+        with self._warm_lock:
+            return (self._warm_shape == tuple(buffer.shape)
+                    and bucket in self._warm_buckets)
 
     def _mark_warm(self, bucket: int, buffer) -> None:
+        """Record a bucket as compiled for ``buffer``'s shape. A worker
+        may reach here with a buffer captured BEFORE a concurrent
+        ``store.add`` grew the shared cycle buffer; marking that stale
+        shape would wipe warm entries a prewarm just recorded at the
+        grown shape, so stale shapes are ignored."""
         shape = tuple(buffer.shape)
-        if self._warm_shape != shape:
-            self._warm_buckets.clear()
-            self._warm_shape = shape
-        self._warm_buckets.add(bucket)
+        current = self.store.buffer
+        if current is not None and shape != tuple(current.shape):
+            return  # stale capture: the store grew under this dispatch
+        with self._warm_lock:
+            if self._warm_shape != shape:
+                self._warm_buckets.clear()
+                self._warm_shape = shape
+            self._warm_buckets.add(bucket)
 
     def prewarm(self, feature_shape: Tuple[int, ...],
                 dtype=np.float32) -> None:
@@ -282,7 +296,14 @@ class BatchScheduler:
                 idxs = jnp.zeros((b * B,), jnp.int32)
                 feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
                 out = self._steps[b](self.params, buffer, idxs, feats)
-                np.asarray(out)  # block: compile + one execution done
+                # block until compile + one execution are done WITHOUT
+                # pulling the full super-batch output over the ~3 MB/s
+                # tunnel (bucket 8 of composed frames = tens of MB
+                # competing with live session egress): fetch a single
+                # element of one leaf instead
+                import jax
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                np.asarray(leaf.ravel()[:1])
                 self._mark_warm(b, buffer)
                 logger.info("scheduler prewarm: bucket %d ready", b)
 
@@ -292,16 +313,27 @@ class BatchScheduler:
         by the first session right after its avatar registers in the
         store, so later sessions (and this one's later buckets) find
         their programs compiled instead of paying first-contact grace
-        inside a live utterance. Compilation happens on the remote
-        compile service, not the device, so it does not steal device
-        time from in-flight traffic; an avatar registered AFTER the
-        prewarm only grows ``store.aux`` (host side) and reuses the same
-        programs."""
-        t = threading.Thread(target=self._prewarm_quiet,
-                             args=(tuple(feature_shape), dtype),
-                             daemon=True, name="scheduler-prewarm")
+        inside a live utterance. The bulk of the cost is the remote
+        compile; each bucket still pays one device execution + a
+        one-element fetch, which briefly shares the device with
+        in-flight traffic. An avatar registered AFTER the prewarm grows
+        the device-resident store buffer (and aux planes), invalidating
+        every bucket's warmth — ``_is_warm``'s shape keying detects
+        that and the recompile runs under the normal grace window; only
+        re-registration of an existing avatar_id is a no-op."""
+        with self._spawn_lock:
+            # drop finished threads; skip spawning when one is already
+            # compiling (prewarm is idempotent and lock-serialized, a
+            # second concurrent thread would only queue behind it)
+            self._prewarm_threads = [
+                t for t in self._prewarm_threads if t.is_alive()]
+            if self._prewarm_threads:
+                return self._prewarm_threads[-1]
+            t = threading.Thread(target=self._prewarm_quiet,
+                                 args=(tuple(feature_shape), dtype),
+                                 daemon=True, name="scheduler-prewarm")
+            self._prewarm_threads.append(t)
         t.start()
-        self._prewarm_thread = t
         return t
 
     def _prewarm_quiet(self, feature_shape, dtype) -> None:
@@ -324,12 +356,14 @@ class BatchScheduler:
 
     def stop(self) -> None:
         self._quit.set()
-        if self._prewarm_thread is not None:
+        with self._spawn_lock:
+            pthreads, self._prewarm_threads = self._prewarm_threads, []
+        for t in pthreads:
             # a background prewarm skips its remaining buckets on quit;
-            # bound the drain of the one bucket it may be mid-step on so
-            # interpreter teardown never overlaps a live device call
-            self._prewarm_thread.join(timeout=130)
-            self._prewarm_thread = None
+            # best-effort bounded drain of the bucket it may be mid-step
+            # on (a first-contact remote compile can exceed this bound —
+            # the daemon thread then dies with the interpreter)
+            t.join(timeout=130)
         if self._thread is not None:
             # the worker's shutdown path fails still-held batches (it
             # never launches new device work on quit) and then drains the

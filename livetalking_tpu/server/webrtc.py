@@ -127,8 +127,12 @@ class HumanPlayer:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         # wire ourselves into the session's streamout plugin
         output = getattr(avatar_session, "output", None)
-        if output is not None and hasattr(output, "_player"):
-            output._player = self
+        if output is not None:
+            attach = getattr(output, "attach_player", None)
+            if attach is not None:
+                attach(self)
+            elif hasattr(output, "_player"):
+                output._player = self
 
     # -- engine side (render thread) -----------------------------------
     def push_video(self, frame_bgr: np.ndarray) -> None:

@@ -97,7 +97,7 @@ def test_musetalk_coalesced_device_paste(stack, tmp_path_factory):
         assert s1._scheduler_composes and s2._scheduler_composes
         assert "pb_frames" in _shared["store"].aux
         # r4: the first session kicked the production background prewarm
-        assert s1._scheduler._prewarm_thread is not None
+        assert s1._scheduler._prewarm_threads  # spawned (r5: tracked list)
         # compose inside the super-batch: paste_back_frame is identity
         probe = __import__("numpy").zeros((480, 640, 3), "uint8")
         assert s1.paste_back_frame(probe, 0) is probe

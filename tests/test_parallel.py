@@ -159,3 +159,36 @@ def test_batch_scheduler_with_sharded_infer_fn():
     # identical math, different reduction/layout order: allow 1 lsb
     assert np.abs(got1.astype(np.int32) - want1.astype(np.int32)).max() <= 1
     assert np.abs(got2.astype(np.int32) - want2.astype(np.int32)).max() <= 1
+
+
+def test_sharded_wav2lip_infer_matches_single_device():
+    """dp-sharded wav2lip infer round (params tp-sharded via shard_params,
+    batch over dp) matches the unsharded single-device fused step to 1
+    uint8 lsb — mirrors the parity assert inside
+    __graft_entry__.dryrun_multichip (VERDICT r4 item 6)."""
+    from jax.sharding import NamedSharding
+
+    from livetalking_tpu.models import wav2lip as w2l
+    from livetalking_tpu.parallel.mesh import DP_AXIS, make_mesh
+
+    params = w2l.init_params(jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    B, S = 4, 256  # 8 stride-2 encoder stacks pin the spatial size to 256
+    cycle = rng.integers(0, 255, (4, S, S, 3)).astype(np.uint8)
+    idxs = np.arange(B, dtype=np.int32) % 4
+    mel = rng.standard_normal((B, 80, 16)).astype(np.float32)
+
+    infer = w2l.make_infer_fn(B, S, dtype=jnp.float32)
+    ref = np.asarray(infer(params, jnp.asarray(cycle), jnp.asarray(idxs),
+                           jnp.asarray(mel)))
+
+    mesh = make_mesh("dp=4,tp=2")
+    dpb = NamedSharding(mesh, P(DP_AXIS))
+    rep = NamedSharding(mesh, P())
+    out = np.asarray(infer(
+        shard_params(params, mesh),
+        jax.device_put(cycle, rep),
+        jax.device_put(idxs, dpb),
+        jax.device_put(mel, dpb)))
+
+    assert np.abs(ref.astype(np.int32) - out.astype(np.int32)).max() <= 1

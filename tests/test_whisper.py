@@ -108,3 +108,88 @@ def test_decoder_step_parity_with_hf():
     got = np.stack(got, axis=1)  # (B, S, V)
 
     np.testing.assert_allclose(got, ref_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_greedy_decode_loop_parity_with_host_reference():
+    """Pin the ENTIRE jitted greedy loop (prompt prime, KV positions,
+    allow mask, no-repeat-ngram ban, EOT latching, n_valid) against an
+    independent host-side reference: HF WhisperDecoder full-forward per
+    step + a plain-numpy reimplementation of the masking rules. Random
+    init, float32 both sides, so a decoding-loop bug is visible even
+    without real weights (VERDICT r4 item 8)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+
+    from livetalking_tpu.models import whisper_decoder as wd
+
+    V, D, L, H, F = 1000, 64, 2, 4, 128
+    EOT = 990
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=V, d_model=D, decoder_layers=L, decoder_attention_heads=H,
+        decoder_ffn_dim=F, encoder_layers=L, encoder_attention_heads=H,
+        encoder_ffn_dim=F, num_mel_bins=80, max_target_positions=64,
+        max_source_positions=32, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1,
+    )
+    torch.manual_seed(1)
+    tdec = transformers.models.whisper.modeling_whisper.WhisperDecoder(hf_cfg).eval()
+
+    cfg = wd.WhisperDecoderConfig(vocab_size=V, d_model=D, num_layers=L,
+                                  num_heads=H, ffn=F, max_target_positions=64,
+                                  sot=991, eot=EOT)
+    sd = {f"decoder.{k}": v for k, v in tdec.state_dict().items()}
+    params = wd.convert_torch_state_dict(sd, cfg, jnp.float32)
+
+    B, MAX_NEW, NG = 2, 20, 3
+    rng = np.random.default_rng(7)
+    enc = rng.standard_normal((B, 16, D)).astype(np.float32)
+    prompt = rng.integers(0, V, (B, 4)).astype(np.int32)
+
+    # --- device path: the jitted while_loop greedy decoder ---
+    decode = wd.make_greedy_decode(params, cfg, max_new=MAX_NEW,
+                                   dtype=jnp.float32, no_repeat_ngram=NG)
+    got_out, got_nv = decode(jnp.asarray(enc), jnp.asarray(prompt))
+    got_out, got_nv = np.asarray(got_out), np.asarray(got_nv)
+
+    # --- host reference: HF full forward each step + numpy masking ---
+    def hf_logits(tokens_2d):
+        with torch.no_grad():
+            out = tdec(input_ids=torch.from_numpy(tokens_2d),
+                       encoder_hidden_states=torch.from_numpy(enc))
+            return (out.last_hidden_state[:, -1]
+                    @ tdec.embed_tokens.weight.T).numpy()
+
+    seq = prompt.copy()
+    gen = [[] for _ in range(B)]
+    done = [False] * B
+    ref_out = np.full((B, MAX_NEW), EOT, np.int64)
+    for step in range(MAX_NEW):
+        if all(done):
+            break
+        logits = hf_logits(seq).astype(np.float64)
+        logits[:, EOT + 1:] = -np.inf  # allow text tokens + EOT only
+        for b in range(B):
+            if step >= NG - 1:
+                last = tuple(gen[b][-(NG - 1):])
+                for j in range(len(gen[b]) - (NG - 1)):
+                    if tuple(gen[b][j:j + NG - 1]) == last:
+                        t = gen[b][j + NG - 1]
+                        if t != EOT:
+                            logits[b, t] = -np.inf
+        tok = logits.argmax(axis=-1)
+        for b in range(B):
+            if done[b]:
+                tok[b] = EOT
+            ref_out[b, step] = tok[b]
+            gen[b].append(int(tok[b]))
+            if tok[b] == EOT:
+                done[b] = True
+        seq = np.concatenate([seq, tok[:, None].astype(np.int32)], axis=1)
+
+    np.testing.assert_array_equal(got_out, ref_out)
+    np.testing.assert_array_equal(got_nv, (ref_out != EOT).sum(axis=-1))
