@@ -164,13 +164,49 @@ class S3FDDetector:
     same-size video reuses one compiled program."""
 
     def __init__(self, params: Params, score_thresh: float = 0.5,
-                 nms_thresh: float = 0.3):
+                 nms_thresh: float = 0.3, max_batch: int = 16):
         self.params = params
         self.score_thresh = score_thresh
         self.nms_thresh = nms_thresh
+        self.max_batch = max_batch  # device-OOM halving floor is 1
         self._fn = make_detect_fn(params)  # jit caches per input shape
 
     def detect_batch(self, frames_bgr: np.ndarray) -> List[np.ndarray]:
+        """Chunked batch detection for arbitrarily long videos: frames go
+        to the device in ``max_batch`` chunks (the final partial chunk is
+        zero-padded so one program per (chunk, H, W) shape serves the
+        whole video), and a device OOM halves the chunk size and retries
+        — the reference's recovery policy
+        (reference avatars/wav2lip/genavatar.py:98-104), applied to the
+        one-jitted-program TPU path."""
+        from livetalking_tpu.utils.logger import logger
+
+        out: List[np.ndarray] = []
+        i, chunk = 0, max(1, min(self.max_batch, len(frames_bgr)))
+        while i < len(frames_bgr):
+            n = min(chunk, len(frames_bgr) - i)
+            block = frames_bgr[i : i + n]
+            if n < chunk:  # pad the tail: reuse the compiled program
+                pad = np.zeros((chunk - n,) + tuple(block.shape[1:]),
+                               block.dtype)
+                block = np.concatenate([block, pad], axis=0)
+            try:
+                out.extend(self._detect_chunk(block)[:n])
+                i += n
+            except Exception as e:  # jaxlib raises backend-specific types
+                msg = str(e)
+                oom = ("RESOURCE_EXHAUSTED" in msg
+                       or "out of memory" in msg.lower()
+                       or "Out of memory" in msg)
+                if not oom or chunk == 1:
+                    raise
+                chunk = max(1, chunk // 2)
+                logger.warning(
+                    "s3fd: device OOM at batch %d - retrying at %d",
+                    chunk * 2, chunk)
+        return out
+
+    def _detect_chunk(self, frames_bgr: np.ndarray) -> List[np.ndarray]:
         B, H, W = frames_bgr.shape[:3]
         Hp = (H + 127) // 128 * 128
         Wp = (W + 127) // 128 * 128

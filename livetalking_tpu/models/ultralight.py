@@ -241,5 +241,58 @@ def make_infer_fn(batch_size: int, dtype=jnp.bfloat16):
     return step
 
 
+def make_grouped_infer_fn(n_sessions: int, batch_size: int,
+                          dtype=jnp.bfloat16):
+    """Cross-session super-batch step for PER-AVATAR weights.
+
+    Unlike wav2lip/musetalk (one shared net), the reference keeps one
+    U-Net per avatar (reference avatars/ultralight_avatar.py:58-81), so a
+    naive shared scheduler can't coalesce ultralight sessions. Here the
+    registered avatars' parameter trees are STACKED on a leading axis and
+    each session-block of the super-batch selects its avatar's weights by
+    slot id; ``vmap`` over the session axis turns the whole thing into
+    one device program (XLA lowers the vmapped convs to grouped convs —
+    smaller per-group MXU tiles than the shared-weight families, but one
+    launch for all sessions instead of k scheduler round-trips).
+
+        (stacked_params [A-leading pytree], crop_cycle (N, 168, 168, 3) u8,
+         idxs (n*B,) i32 global frame indices, slots (n,) i32 avatar slot
+         per session-block, audio (n*B, 16, 32, 32) f32)
+            -> (n*B, 160, 160, 3) uint8
+    """
+    S = IMG_SIZE
+    n, B = n_sessions, batch_size
+
+    @jax.jit
+    def step(stacked: Params, crop_cycle: jnp.ndarray, idxs: jnp.ndarray,
+             slots: jnp.ndarray, audio: jnp.ndarray):
+        crops = jnp.take(crop_cycle, idxs, axis=0)  # (n*B, 168, 168, 3)
+        real = crops[:, 4 : 4 + S, 4 : 4 + S, :].astype(dtype) / jnp.asarray(255.0, dtype)
+        ys = jnp.arange(S)[None, :, None, None]
+        xs = jnp.arange(S)[None, None, :, None]
+        inside = (ys >= 5) & (ys < 150) & (xs >= 5) & (xs < 155)
+        masked = jnp.where(inside, jnp.asarray(0.0, dtype), real)
+        x = jnp.concatenate([real, masked], axis=-1)  # (n*B, 160, 160, 6)
+        a = jnp.transpose(audio, (0, 2, 3, 1)).astype(dtype)
+        psel = jax.tree.map(lambda p: jnp.take(p, slots, axis=0), stacked)
+        out = jax.vmap(apply)(psel, x.reshape(n, B, S, S, 6),
+                              a.reshape(n, B, 32, 32, 16))
+        out = out.reshape(n * B, S, S, 3)
+        return jnp.clip(out * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+    return step
+
+
+def stack_params(trees: List[Params]) -> Params:
+    """Stack per-avatar parameter trees on a new leading axis (device)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def append_stacked(stacked: Params, tree: Params) -> Params:
+    """Append one avatar's tree to an existing stacked pytree."""
+    return jax.tree.map(
+        lambda s, x: jnp.concatenate([s, x[None]], axis=0), stacked, tree)
+
+
 def count_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -124,6 +124,49 @@ def main() -> None:
     refs = [np.asarray(step_bf16(model["unet_params"], model["vae_params"],
                                  cycle, i, w)) for i, w in batches]
 
+    # lip-sync feature-space scorer (SURVEY §7 names PSNR/LSE-D gates;
+    # VERDICT r4 item 7): the repo's own musetalk-syncnet visual tower
+    # embeds each batch's 16-frame lower-half window, and every int8
+    # config reports (a) the embedding cosine vs the bf16 frames and
+    # (b) the sync-confidence delta |cos(v,a)_int8 - cos(v,a)_bf16|
+    # against one fixed mel window. Random-init weights (no trained
+    # checkpoint obtainable here) make this a RELATIVE perturbation
+    # gate in a mouth-region-sensitive feature space, not an absolute
+    # LSE-D score — methodology recorded in the artifact.
+    from livetalking_tpu.models import musetalk_syncnet as ms
+
+    sync_cfg = ms.MUSETALK
+    if args.tiny:  # same ladder, tiny channels: CPU harness smoke
+        sync_cfg = ms.SyncNetConfig(
+            audio=ms.EncoderConfig(1, (8,) * 6, (2, 2, 2, 2, (5, 3), 1),
+                                   (0,) * 6),
+            visual=ms.EncoderConfig(48, (8,) * 8,
+                                    (2, 2, 2, 2, 2, 2, 2, (1, 2)),
+                                    (0,) * 8))
+    sync_params = ms.init_params(jax.random.PRNGKey(123), sync_cfg,
+                                 jnp.float32)
+    sync_mel = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 80, 52, 1)).astype(np.float32))
+    sync_apply = jax.jit(lambda p, f, m: ms.apply(p, f, m, sync_cfg))
+
+    def sync_embed(frames_u8: np.ndarray):
+        """(16, S, S, 3) uint8 BGR -> (v_emb (D,), sync_cos float)."""
+        h = frames_u8.shape[1]
+        lower = frames_u8[:, h // 2:, :, :].astype(np.float32) / 255.0
+        if lower.shape[1:3] != (128, 256):
+            import cv2 as _cv2
+
+            lower = np.stack([
+                _cv2.resize(f, (256, 128), interpolation=_cv2.INTER_LINEAR)
+                for f in lower])
+        # 16-frame channel-concat window (the tower's 48ch ladder input)
+        cat = np.concatenate(list(lower), axis=-1)[None]  # (1, 128, 256, 48)
+        v, a = sync_apply(sync_params, jnp.asarray(cat), sync_mel)
+        v, a = np.asarray(v)[0], np.asarray(a)[0]
+        return v, float(np.dot(v, a))
+
+    ref_sync = [sync_embed(r) for r in refs]
+
     # calibration inputs (the MuseReal recipe, parameterized by ncal)
     tt = lambda n: jnp.zeros((n,), jnp.float32)  # noqa: E731
 
@@ -159,14 +202,22 @@ def main() -> None:
                          on_unet_out=vae_on_unet_out)
         step = mt.make_infer_fn(cfg, B, dtype=jnp.bfloat16,
                                 vae_int8=vae_int8, unet_int8=unet_int8)
-        vals = [psnr(np.asarray(step(up, vp, cycle, i, w)), r)
-                for (i, w), r in zip(batches, refs)]
+        outs = [np.asarray(step(up, vp, cycle, i, w)) for i, w in batches]
+        vals = [psnr(o, r) for o, r in zip(outs, refs)]
+        emb_cos, sync_delta = [], []
+        for o, (rv, rcos) in zip(outs, ref_sync):
+            v, c = sync_embed(o)
+            emb_cos.append(float(np.dot(v, rv)))
+            sync_delta.append(abs(c - rcos))
         row = {"config": name, "unet_int8": unet_int8, "vae_int8": vae_int8,
                "attn_int8": attn, "vae_mid_int8": mid, "ncal": ncal,
                "vae_cal_on_unet_out": vae_on_unet_out,
                "psnr_db_mean": round(float(np.mean(vals)), 2),
                "psnr_db_min": round(float(np.min(vals)), 2),
-               "psnr_db_per_batch": [round(v, 2) for v in vals]}
+               "psnr_db_per_batch": [round(v, 2) for v in vals],
+               "syncnet_emb_cos_vs_bf16_mean": round(float(np.mean(emb_cos)), 5),
+               "syncnet_emb_cos_vs_bf16_min": round(float(np.min(emb_cos)), 5),
+               "syncnet_sync_cos_delta_max": round(float(np.max(sync_delta)), 5)}
         print(json.dumps(row), flush=True)
         return row
 
@@ -192,6 +243,12 @@ def main() -> None:
                    "latents) + real-whisper-statistics contexts",
         "reference": "bf16 step on identical inputs (random-init weights; "
                      "real checkpoints unobtainable in this environment)",
+        "syncnet_methodology": "relative lip-sync feature gate: the repo's "
+                     "musetalk-syncnet visual tower (random init) embeds "
+                     "each batch's 16-frame lower-half window; rows report "
+                     "cos(v_int8, v_bf16) and the sync-confidence delta "
+                     "against one fixed mel — a perturbation measure in a "
+                     "mouth-sensitive feature space, NOT absolute LSE-D",
         "rows": rows,
     }
     if args.out:
