@@ -105,6 +105,10 @@ def main() -> dict:
                          "the fused pallas kernel (LT_FUSED_VAE=1)")
     ap.add_argument("--tiny", action="store_true",
                     help="engine mode: tiny U-Net config (smoke runs)")
+    ap.add_argument("--ultralight_per_session", action="store_true",
+                    help="ultralight: r4 per-session topology (no shared "
+                         "scheduler) instead of the stacked-weights "
+                         "coalesced default")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     # budget-aware degradation (bench.py sets BENCH_REMAINING_S): a tight
@@ -398,7 +402,10 @@ def _engine_serving(args) -> dict:
     buckets = sorted({b for b in (1, 2, 4, 8, N, wide)
                       if b <= min(wide, cap)})
     tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
-    coalesce = family != "ultralight"  # per-avatar weights: no coalescing
+    # r5: ultralight now coalesces too (stacked per-avatar weights +
+    # slot select, models/ultralight.py make_grouped_infer_fn);
+    # --ultralight_per_session restores the r4 per-session topology A/B
+    coalesce = not (family == "ultralight" and args.ultralight_per_session)
     base = dict(
         transport="queue", tts="dummy", batch_size=B, model=family,
         coalesce=coalesce, device_paste_back=coalesce,
@@ -448,7 +455,7 @@ def _engine_serving(args) -> dict:
             os.path.join(tmp, "avatars", "bench"), n_frames=10,
             frame_hw=(args.frame_h, args.frame_w))
         avatar = plugin.load_avatar("bench", tmp)
-    else:  # ultralight: reference per-session topology (no scheduler)
+    else:
         from livetalking_tpu.avatars import ultralight_avatar as plugin
 
         model = plugin.load_model(opt0)
@@ -475,8 +482,9 @@ def _engine_serving(args) -> dict:
         # otherwise stall requests INSIDE the timed window (measured
         # B=8: p90 13.8 s, 5 fps/session — all compile wait)
         print("# prewarming scheduler buckets...", flush=True)
-        feat_shape = (tuple(sessions[0].asr._zero.shape[1:])
-                      if family == "musetalk" else (80, 16))
+        feat_shape = {"musetalk": tuple(sessions[0].asr._zero.shape[1:]),
+                      "wav2lip": (80, 16),
+                      "ultralight": (16, 32, 32)}[family]
         sched.prewarm(feat_shape)
         fc = plugin._shared.get("feat_coalescer")
         if fc is not None:

@@ -287,25 +287,37 @@ class BatchScheduler:
 
         B = self.batch_size
         with self._prewarm_lock:
-            for b in self.buckets:
+            # re-pass until every bucket is warm for the FINAL buffer: an
+            # avatar registering mid-pass grows the store and invalidates
+            # buckets already compiled this pass (observed: bucket 1
+            # warmed for a 1-avatar buffer, then session 2 registered and
+            # the first live dispatch of bucket 1 hit a cold multi-minute
+            # compile with no prewarm coverage)
+            for _pass in range(16):
                 if self._quit.is_set():
-                    continue
-                buffer = self.store.buffer  # re-read: may grow mid-pass
-                if self._is_warm(b, buffer):
-                    continue
-                idxs = jnp.zeros((b * B,), jnp.int32)
-                feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
-                out = self._steps[b](self.params, buffer, idxs, feats)
-                # block until compile + one execution are done WITHOUT
-                # pulling the full super-batch output over the ~3 MB/s
-                # tunnel (bucket 8 of composed frames = tens of MB
-                # competing with live session egress): fetch a single
-                # element of one leaf instead
-                import jax
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                np.asarray(leaf.ravel()[:1])
-                self._mark_warm(b, buffer)
-                logger.info("scheduler prewarm: bucket %d ready", b)
+                    break
+                buffer = self.store.buffer
+                todo = [b for b in self.buckets
+                        if not self._is_warm(b, buffer)]
+                if not todo:
+                    break
+                for b in todo:
+                    if self._quit.is_set():
+                        break
+                    buffer = self.store.buffer  # re-read: may grow mid-pass
+                    idxs = jnp.zeros((b * B,), jnp.int32)
+                    feats = jnp.zeros((b * B,) + tuple(feature_shape), dtype)
+                    out = self._steps[b](self.params, buffer, idxs, feats)
+                    # block until compile + one execution are done WITHOUT
+                    # pulling the full super-batch output over the ~3 MB/s
+                    # tunnel (bucket 8 of composed frames = tens of MB
+                    # competing with live session egress): fetch a single
+                    # element of one leaf instead
+                    import jax
+                    leaf = jax.tree_util.tree_leaves(out)[0]
+                    np.asarray(leaf.ravel()[:1])
+                    self._mark_warm(b, buffer)
+                    logger.info("scheduler prewarm: bucket %d ready", b)
 
     def prewarm_async(self, feature_shape: Tuple[int, ...],
                       dtype=np.float32) -> threading.Thread:

@@ -91,6 +91,7 @@ def test_ultralight_coalesced_device_paste(tmp_path_factory):
             transport="queue", tts="dummy", batch_size=B, dtype="float32",
             hubert_size="tiny", model="ultralight", sessionid=sid,
             coalesce=True, device_paste_back=True,
+            coalesce_buckets="1,2",  # 2 sessions; fewer compiles on 1-core CI
         )
         model = plugin.load_model(o)
         avatar = plugin.load_avatar(aid, str(data_dir))
@@ -126,9 +127,14 @@ def test_ultralight_coalesced_device_paste(tmp_path_factory):
         try:
             s1.put_msg_txt("ultralight coalesced session one speaks now")
             s2.put_msg_txt("ultralight coalesced session two speaks now")
-            deadline = time.time() + 240
+            deadline = time.time() + 420
             f1, f2 = [], []
-            while time.time() < deadline and (len(f1) < 4 or len(f2) < 4):
+            # wait for frames AND a real coalesced device batch: idle
+            # frames flow even while the first super-batch compiles, so
+            # frame count alone would exit before the scheduler ever ran
+            while time.time() < deadline and (
+                    len(f1) < 4 or len(f2) < 4
+                    or s1._scheduler.batches_run < 1):
                 for sess, acc in ((s1, f1), (s2, f2)):
                     try:
                         acc.append(sess.output.video_queue.get(timeout=0.2))
