@@ -40,7 +40,7 @@ import numpy as np
 def main() -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="musetalk",
-                    choices=["musetalk", "wav2lip", "ultralight"])
+                    choices=["musetalk", "wav2lip", "ultralight", "ernerf"])
     ap.add_argument("--sessions", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=20.0)
@@ -404,8 +404,13 @@ def _engine_serving(args) -> dict:
     tmp = tempfile.mkdtemp(prefix="lt_bench_engine_")
     # r5: ultralight now coalesces too (stacked per-avatar weights +
     # slot select, models/ultralight.py make_grouped_infer_fn);
-    # --ultralight_per_session restores the r4 per-session topology A/B
-    coalesce = not (family == "ultralight" and args.ultralight_per_session)
+    # --ultralight_per_session restores the r4 per-session topology A/B.
+    # ernerf keeps the per-session topology (per-avatar NeRF fields,
+    # no scheduler wiring — the family's capacity curve is measured on
+    # the reference topology).
+    coalesce = (family in ("musetalk", "wav2lip")
+                or (family == "ultralight"
+                    and not args.ultralight_per_session))
     base = dict(
         transport="queue", tts="dummy", batch_size=B, model=family,
         coalesce=coalesce, device_paste_back=coalesce,
@@ -455,7 +460,7 @@ def _engine_serving(args) -> dict:
             os.path.join(tmp, "avatars", "bench"), n_frames=10,
             frame_hw=(args.frame_h, args.frame_w))
         avatar = plugin.load_avatar("bench", tmp)
-    else:
+    elif family == "ultralight":
         from livetalking_tpu.avatars import ultralight_avatar as plugin
 
         model = plugin.load_model(opt0)
@@ -463,6 +468,14 @@ def _engine_serving(args) -> dict:
             os.path.join(tmp, "avatars", "bench"), n_frames=10,
             frame_hw=(args.frame_h, args.frame_w), face_size=168,
             coord_order="xy")
+        avatar = plugin.load_avatar("bench", tmp)
+    else:  # ernerf: per-session triplane render, reference topology
+        from livetalking_tpu.avatars import ernerf_avatar as plugin
+
+        model = plugin.load_model(opt0)
+        make_synthetic_avatar(
+            os.path.join(tmp, "avatars", "bench"), n_frames=10,
+            frame_hw=(args.frame_h, args.frame_w))
         avatar = plugin.load_avatar("bench", tmp)
 
     if coalesce:
