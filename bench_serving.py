@@ -105,6 +105,10 @@ def main() -> dict:
                          "the fused pallas kernel (LT_FUSED_VAE=1)")
     ap.add_argument("--tiny", action="store_true",
                     help="engine mode: tiny U-Net config (smoke runs)")
+    ap.add_argument("--egress_buffer_frames", type=int, default=5,
+                    help="engine mode: render-loop back-pressure "
+                         "threshold (config --egress_buffer_frames); "
+                         "paced runs can deepen the jitter buffer")
     ap.add_argument("--ultralight_per_session", action="store_true",
                     help="ultralight: r4 per-session topology (no shared "
                          "scheduler) instead of the stacked-weights "
@@ -420,6 +424,7 @@ def _engine_serving(args) -> dict:
         coalesce_window_ms=float(args.coalesce_window_ms),
         d2h_subsample=max(1, args.d2h_subsample),
         session_inflight=max(1, args.session_inflight),
+        egress_buffer_frames=max(1, args.egress_buffer_frames),
         musetalk_size="tiny" if args.tiny else "full",
     )
     print(f"# engine serving: family={family} N={N} B={B} int8={use_int8} "
@@ -660,6 +665,7 @@ def _engine_serving(args) -> dict:
         "fused_vae": bool(args.fused_vae),
         "device_paste_back": coalesce,
         "session_inflight": max(1, args.session_inflight),
+        "egress_buffer_frames": max(1, args.egress_buffer_frames),
         "paced": bool(args.paced),
         "starved_ticks": ([b - a for a, b in zip(starv0, starv1)]
                           if args.paced else None),

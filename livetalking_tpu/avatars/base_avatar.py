@@ -56,6 +56,12 @@ class BaseAvatar:
         self.chunk = self.sample_rate // (opt.fps * 2)  # 320 samples = 20 ms
         self.sessionid = getattr(opt, "sessionid", "0")
 
+        # egress back-pressure threshold (frames; reference value 5):
+        # the render loop throttles feature extraction when the
+        # transport backlog reaches this — see --egress_buffer_frames
+        self.egress_buffer_frames = max(
+            1, int(getattr(opt, "egress_buffer_frames", 5) or 5))
+
         self.speaking = False
         self.recording = False
         self._rec_video_pipe = None
@@ -521,9 +527,13 @@ class BaseAvatar:
         while not quit_event.is_set():
             self.asr.run_step()
             buffer_size = self.output.get_buffer_size() if self.output else 0
-            if buffer_size >= 5:
+            if buffer_size >= self.egress_buffer_frames:
                 logger.debug("sleep qsize=%d", buffer_size)
-                time.sleep(0.04 * buffer_size * 0.8)
+                # identical to the reference 0.032*qsize at the default
+                # threshold 5; shifted for deeper jitter buffers so the
+                # sleep tracks the EXCESS, not the absolute depth
+                time.sleep(0.04 * 0.8 *
+                           (buffer_size - self.egress_buffer_frames + 5))
         logger.info("baseavatar render thread stop")
 
         infer_quit.set()

@@ -102,6 +102,14 @@ def _declare_flags(parser: argparse.ArgumentParser) -> None:
              "default) so later sessions never pay a first-contact "
              "compile inside a live utterance; 0 = compile buckets "
              "lazily under the scheduler's compile-grace window")
+    add("--egress_buffer_frames", type=int, default=5,
+        help="transport egress backlog (video frames) at which the "
+             "render loop throttles feature extraction (reference "
+             "basereal back-pressure value 5 = ~200 ms). Paced "
+             "deployments with thin supply margins can raise this: a "
+             "deeper jitter buffer absorbs request-latency spikes that "
+             "would otherwise starve playout ticks, at +40 ms playout "
+             "latency per extra frame")
     add("--session_inflight", type=int, default=2,
         help="per-session inference batches kept in flight (>=1). With "
              "the shared scheduler a synchronous loop is latency-bound "
