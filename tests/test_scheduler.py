@@ -453,3 +453,32 @@ def test_hold_policy_aligns_staggered_sessions(store):
     # from thread-scheduling noise)
     full = sum(1 for s in steady if s == N)
     assert full / len(steady) >= 0.8, sizes
+
+
+def test_prewarm_repasses_when_store_grows_mid_pass(store):
+    """r5: an avatar registering DURING a prewarm pass grows the shared
+    buffer and invalidates buckets already compiled that pass; prewarm
+    must re-pass until every bucket is warm for the FINAL buffer
+    (observed in the ultralight engine test: bucket 1 stayed cold for
+    the 2-avatar buffer and the first live dispatch ate the compile)."""
+    params = {"gain": jnp.asarray(1.0)}
+    base = tiny_step_factory(params)
+    grown = []
+
+    def growing_factory(total):
+        step = base(total)
+
+        def wrapped(p, buffer, idxs, mel):
+            if not grown:  # grow the store mid-pass, exactly once
+                grown.append(True)
+                rng = np.random.default_rng(9)
+                store.add("late", rng.integers(0, 200, (3, S, S, 3),
+                                               dtype=np.uint8))
+            return step(p, buffer, idxs, mel)
+        return wrapped
+
+    s = BatchScheduler(params, store, growing_factory, B, buckets=(1, 2, 4))
+    s.prewarm((4, 4))
+    final_shape = tuple(store.buffer.shape)
+    assert s._warm_shape == final_shape
+    assert s._warm_buckets == {1, 2, 4}
