@@ -136,11 +136,11 @@ def main() -> None:
     from livetalking_tpu.models import musetalk_syncnet as ms
 
     sync_cfg = ms.MUSETALK
-    if args.tiny:  # same ladder, tiny channels: CPU harness smoke
+    if args.tiny:  # same ladder, tiny channels (>=32: GroupNorm groups)
         sync_cfg = ms.SyncNetConfig(
-            audio=ms.EncoderConfig(1, (8,) * 6, (2, 2, 2, 2, (5, 3), 1),
+            audio=ms.EncoderConfig(1, (32,) * 6, (2, 2, 2, 2, (5, 3), 1),
                                    (0,) * 6),
-            visual=ms.EncoderConfig(48, (8,) * 8,
+            visual=ms.EncoderConfig(48, (32,) * 8,
                                     (2, 2, 2, 2, 2, 2, 2, (1, 2)),
                                     (0,) * 8))
     sync_params = ms.init_params(jax.random.PRNGKey(123), sync_cfg,
