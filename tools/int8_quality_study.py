@@ -136,11 +136,14 @@ def main() -> None:
     from livetalking_tpu.models import musetalk_syncnet as ms
 
     sync_cfg = ms.MUSETALK
-    if args.tiny:  # same ladder, tiny channels (>=32: GroupNorm groups)
+    if args.tiny:  # same ladder, tiny channels. The early blocks need
+        # >=32 channels (GroupNorm group count); the FINAL block needs
+        # substantially more — at 1x1 spatial a 32ch/32-group norm has
+        # one element per group and zeroes the embedding
         sync_cfg = ms.SyncNetConfig(
-            audio=ms.EncoderConfig(1, (32,) * 6, (2, 2, 2, 2, (5, 3), 1),
-                                   (0,) * 6),
-            visual=ms.EncoderConfig(48, (32,) * 8,
+            audio=ms.EncoderConfig(1, (32,) * 5 + (256,),
+                                   (2, 2, 2, 2, (5, 3), 1), (0,) * 6),
+            visual=ms.EncoderConfig(48, (32,) * 7 + (256,),
                                     (2, 2, 2, 2, 2, 2, 2, (1, 2)),
                                     (0,) * 8))
     sync_params = ms.init_params(jax.random.PRNGKey(123), sync_cfg,
