@@ -163,9 +163,13 @@ def test_fused_decode_matches_xla_path():
     zz = (z / sv.SCALING_FACTOR).astype(jnp.bfloat16)
     h = sv.conv(vq["post_quant_conv"], zz, padding=0)
     h = sv.conv(vq["dec_conv_in"], h)
-    h = sv.resnet_block(vq["dec_mid"]["r0"], h)
+    # mid resnets are int8 under the r3 vae_mid_int8 default — select
+    # the resnet impl exactly as decode_int8 does
+    mid_resnet = (sv._resnet_block_q
+                  if "wq" in vq["dec_mid"]["r0"]["conv1"] else sv.resnet_block)
+    h = mid_resnet(vq["dec_mid"]["r0"], h)
     h = sv.spatial_attention(vq["dec_mid"]["attn"], h)
-    h = sv.resnet_block(vq["dec_mid"]["r1"], h)
+    h = mid_resnet(vq["dec_mid"]["r1"], h)
 
     got = sv._decode_int8_fused(vq, h, interpret=True)
 
@@ -212,9 +216,13 @@ def test_fused_decode_routing_knobs(knobs):
     zz = (z / sv.SCALING_FACTOR).astype(jnp.bfloat16)
     h = sv.conv(vq["post_quant_conv"], zz, padding=0)
     h = sv.conv(vq["dec_conv_in"], h)
-    h = sv.resnet_block(vq["dec_mid"]["r0"], h)
+    # mid resnets are int8 under the r3 vae_mid_int8 default — select
+    # the resnet impl exactly as decode_int8 does
+    mid_resnet = (sv._resnet_block_q
+                  if "wq" in vq["dec_mid"]["r0"]["conv1"] else sv.resnet_block)
+    h = mid_resnet(vq["dec_mid"]["r0"], h)
     h = sv.spatial_attention(vq["dec_mid"]["attn"], h)
-    h = sv.resnet_block(vq["dec_mid"]["r1"], h)
+    h = mid_resnet(vq["dec_mid"]["r1"], h)
 
     got = sv._decode_int8_fused(vq, h, interpret=True, min_h=16, **knobs)
 
