@@ -500,9 +500,12 @@ def _engine_serving(args) -> dict:
         # otherwise stall requests INSIDE the timed window (measured
         # B=8: p90 13.8 s, 5 fps/session — all compile wait)
         print("# prewarming scheduler buckets...", flush=True)
-        feat_shape = {"musetalk": tuple(sessions[0].asr._zero.shape[1:]),
-                      "wav2lip": (80, 16),
-                      "ultralight": (16, 32, 32)}[family]
+        if family == "musetalk":
+            feat_shape = tuple(sessions[0].asr._zero.shape[1:])
+        elif family == "wav2lip":
+            feat_shape = (80, 16)
+        else:  # ultralight
+            feat_shape = (16, 32, 32)
         sched.prewarm(feat_shape)
         fc = plugin._shared.get("feat_coalescer")
         if fc is not None:
