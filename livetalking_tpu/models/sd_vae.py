@@ -119,23 +119,45 @@ def _resnet_block_q(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray
     h = _conv_q(p["conv1"], silu(group_norm(p["norm1"], x, eps=eps)))
     a = silu(group_norm(p["norm2"], h, eps=eps))
     if "conv_shortcut" in p:
-        x = _conv_q(p["conv_shortcut"], x, padding=0)
+        cs = p["conv_shortcut"]
+        # r5 default: the 1x1 skip is BANDWIDTH-bound, not MXU-bound —
+        # the bf16 conv beats the int8 path outright because the
+        # quantize pass costs a full extra read (v5e B=16 256px
+        # 256->128: bf16 2.0 ms vs int8 3.1, VAE_EPILOGUE_r05.json)
+        x = (_conv_q(cs, x, padding=0) if "wq" in cs
+             else conv(cs, x, padding=0))
     return _conv_q(p["conv2"], a, residual=x)
 
 
-def quantize_decoder(params: Params, mid_int8: bool = True) -> Params:
+def quantize_decoder(params: Params, mid_int8: bool = True,
+                     bf16_epilogue: Optional[bool] = None) -> Params:
     """One-time conversion of the decoder convs to int8 (norms, attention,
     and the tiny latent-side convs stay bf16/f32). ``mid_int8``
     additionally quantizes the two mid-block resnets (4x conv3x3
     512->512 @ 32px — measured 39.5 -> 38.6 ms B=16 decode on v5e,
     tools/bench_vae_mid.py); the mid ATTENTION and dec_conv_in (cin=4,
-    MXU-hostile) stay bf16 either way."""
+    MXU-hostile) stay bf16 either way.
+
+    ``bf16_epilogue`` (default $LT_BF16_EPILOGUE, on): keep the
+    bandwidth-bound sites — the 1x1 resnet shortcuts and the final
+    128->3 conv — in bf16. Their int8 versions run far below the
+    bandwidth roofline (11-26%, VAE_MFU_r04.json) because the dynamic
+    quantize pass re-reads the activation; measured standalone on v5e
+    B=16 (tools/bench_vae_epilogue.py, VAE_EPILOGUE_r05.json): 256px
+    256->128 skip 1.998 ms bf16 vs 3.102 int8; final 128->3 conv
+    1.78 bf16 vs 2.561 int8. Quantizing them also costs quality for
+    NEGATIVE speed."""
+    if bf16_epilogue is None:
+        bf16_epilogue = os.environ.get("LT_BF16_EPILOGUE", "1") == "1"
+
     def q_resnet(rp):
         out = {"norm1": rp["norm1"], "norm2": rp["norm2"],
                "conv1": _quantize_conv(rp["conv1"]),
                "conv2": _quantize_conv(rp["conv2"])}
         if "conv_shortcut" in rp:
-            out["conv_shortcut"] = _quantize_conv(rp["conv_shortcut"])
+            out["conv_shortcut"] = (dict(rp["conv_shortcut"])
+                                    if bf16_epilogue
+                                    else _quantize_conv(rp["conv_shortcut"]))
         return out
 
     mid = params["dec_mid"]
@@ -147,7 +169,8 @@ def quantize_decoder(params: Params, mid_int8: bool = True) -> Params:
         "dec_conv_in": params["dec_conv_in"],
         "dec_mid": mid,
         "dec_norm_out": params["dec_norm_out"],
-        "dec_conv_out": _quantize_conv(params["dec_conv_out"]),
+        "dec_conv_out": (dict(params["dec_conv_out"]) if bf16_epilogue
+                         else _quantize_conv(params["dec_conv_out"])),
         "dec_up": [],
     }
     for blk in params["dec_up"]:
@@ -218,22 +241,29 @@ def calibrate_decoder(params: Params, params_q: Params, z: jnp.ndarray,
     def nxt():
         return jnp.asarray(float(next(scales)), jnp.float32)
 
-    # assignment mirrors _decode_scale_walk's traversal order exactly
+    # assignment mirrors _decode_scale_walk's traversal order exactly;
+    # bf16-epilogue sites (no "wq") consume their walk slot but store
+    # nothing — they run full precision
+    def maybe(site):
+        s = nxt()
+        if "wq" in site:
+            site["as"] = s
+
     if mid_int8:
         for rq in (params_q["dec_mid"]["r0"], params_q["dec_mid"]["r1"]):
             rq["conv1"]["as"] = nxt()
             rq["conv2"]["as"] = nxt()
             if "conv_shortcut" in rq:
-                rq["conv_shortcut"]["as"] = nxt()
+                maybe(rq["conv_shortcut"])
     for blk in params_q["dec_up"]:
         for rq in blk["resnets"]:
             rq["conv1"]["as"] = nxt()
             rq["conv2"]["as"] = nxt()
             if "conv_shortcut" in rq:
-                rq["conv_shortcut"]["as"] = nxt()
+                maybe(rq["conv_shortcut"])
         if "up" in blk:
             blk["up"]["as"] = nxt()
-    params_q["dec_conv_out"]["as"] = nxt()
+    maybe(params_q["dec_conv_out"])
     leftover = sum(1 for _ in scales)
     assert leftover == 0, f"scale walk/assign mismatch: {leftover} extra"
     return params_q
@@ -277,7 +307,9 @@ def _fused_resnet_q(rp: Params, h: jnp.ndarray, s1: jnp.ndarray,
     sc2, sh2 = _gn_scale_shift(rp["norm2"], t1, t2, H * W)
     res = h
     if "conv_shortcut" in rp:
-        res = _conv_q(rp["conv_shortcut"], h, padding=0)
+        cs = rp["conv_shortcut"]
+        res = (_conv_q(cs, h, padding=0) if "wq" in cs
+               else conv(cs, h, padding=0))
     c2 = rp["conv2"]
     return conv3x3_gnq(h1, sc2, sh2, c2["as"], c2["wq"],
                        c2["as"] * c2["ws"], c2["b"], residual=res,
@@ -333,6 +365,14 @@ def _block_resnets_fit(blk: Params, h_shape, min_h: int = 64) -> bool:
             return False
         cin = cout
     return True
+
+
+def _out_conv(co: Params, a: jnp.ndarray) -> jnp.ndarray:
+    """Final 128->3 conv: bf16 under the r5 epilogue default (the int8
+    version ran at 11% of roofline — the 3-channel output relayout
+    dominates and the quantize pass only adds a read;
+    tools/bench_vae_epilogue.py: 1.78 ms bf16 vs 2.561 int8 B=16)."""
+    return _conv_q(co, a) if "wq" in co else conv(co, a)
 
 
 def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
@@ -401,14 +441,14 @@ def _decode_int8_fused(params_q: Params, h: jnp.ndarray,
                                     up["b"], upsample=True,
                                     interpret=interpret)
     if s1 is None:
-        h = _conv_q(params_q["dec_conv_out"],
-                    silu(group_norm(params_q["dec_norm_out"], h)))
+        h = _out_conv(params_q["dec_conv_out"],
+                      silu(group_norm(params_q["dec_norm_out"], h)))
         return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
     sc, sh = _gn_scale_shift(params_q["dec_norm_out"], s1, s2,
                              h.shape[1] * h.shape[2])
     a = h.astype(jnp.float32) * sc[:, None, None, :] + sh[:, None, None, :]
     a = (a * jax.nn.sigmoid(a)).astype(h.dtype)
-    h = _conv_q(params_q["dec_conv_out"], a)
+    h = _out_conv(params_q["dec_conv_out"], a)
     return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
 
@@ -451,7 +491,8 @@ def decode_int8(params_q: Params, z: jnp.ndarray) -> jnp.ndarray:
             h = _resnet_block_q(rp, h)
         if "up" in blk:
             h = _up_conv_q(blk["up"], h)
-    h = _conv_q(params_q["dec_conv_out"], silu(group_norm(params_q["dec_norm_out"], h)))
+    h = _out_conv(params_q["dec_conv_out"],
+                  silu(group_norm(params_q["dec_norm_out"], h)))
     return jnp.clip(h.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
 

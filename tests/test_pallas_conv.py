@@ -149,7 +149,10 @@ def test_fused_decode_matches_xla_path():
     from livetalking_tpu.utils.jaxinit import jit_init
 
     vp = jit_init(sv.init_params, jax.random.PRNGKey(1), jnp.bfloat16)
-    vq = _with_dummy_scales(sv.quantize_decoder(vp))
+    # pin the all-int8 tree: these tests exercise the fused int8 chain
+    # and build their XLA reference with _conv_q at every site (the r5
+    # bf16-epilogue default keeps shortcuts/conv_out full precision)
+    vq = _with_dummy_scales(sv.quantize_decoder(vp, bf16_epilogue=False))
     # realistic activation scales: calibrate on the test latents so the
     # int8 grids are meaningful (dummy scale 1.0 would crush activations)
     rng = np.random.default_rng(4)
@@ -207,7 +210,10 @@ def test_fused_decode_routing_knobs(knobs):
     from livetalking_tpu.utils.jaxinit import jit_init
 
     vp = jit_init(sv.init_params, jax.random.PRNGKey(1), jnp.bfloat16)
-    vq = _with_dummy_scales(sv.quantize_decoder(vp))
+    # pin the all-int8 tree: these tests exercise the fused int8 chain
+    # and build their XLA reference with _conv_q at every site (the r5
+    # bf16-epilogue default keeps shortcuts/conv_out full precision)
+    vq = _with_dummy_scales(sv.quantize_decoder(vp, bf16_epilogue=False))
     rng = np.random.default_rng(6)
     z = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
                     * sv.SCALING_FACTOR)

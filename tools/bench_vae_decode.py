@@ -51,6 +51,10 @@ def main():
           flush=True)
     vp = jit_init(sd_vae.init_params, jax.random.PRNGKey(0), jnp.bfloat16)
     vq = _with_dummy_scales(sd_vae.quantize_decoder(vp))
+    # r5 epilogue A/B: same graph except the 1x1 shortcuts + final conv
+    # run int8 (the pre-r5 default) instead of bf16
+    vq_int8ep = _with_dummy_scales(
+        sd_vae.quantize_decoder(vp, bf16_epilogue=False))
 
     rng = np.random.default_rng(0)
     z0 = jnp.asarray(rng.standard_normal((B, 32, 32, 4)).astype(np.float32)
@@ -65,10 +69,13 @@ def main():
                           "LT_FUSED_VAE_SKIP_UP": "0,1,2",
                           "LT_FUSED_VAE_RESTART": "1",
                           "LT_FUSED_VAE_FROM": "0"},
+        # pre-r5 all-int8 epilogue (1x1 shortcuts + final conv int8)
+        "xla_dilated_int8ep": {"LT_FUSED_VAE": "0", "LT_DILATED_UP": "auto"},
     }
 
     results = {}
     for name in args.configs.split(","):
+        tree = vq_int8ep if name.endswith("_int8ep") else vq
         env = ENV[name]
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
@@ -86,7 +93,7 @@ def main():
             def chain(k):
                 z = z0
                 for _ in range(k):
-                    z = step(vq, z)
+                    z = step(tree, z)
                 np.asarray(z[0, 0, 0, :1])  # serialize + tiny fetch
 
             t0 = time.time()
