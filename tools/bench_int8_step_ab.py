@@ -89,15 +89,19 @@ def main():
         return round(ms, 2)
 
     results = {}
+    print("# quantize full_int8 (r5 bf16-epilogue default)", flush=True)
+    uq1 = _with_dummy_scales(sd_unet.quantize_unet(up, attn_int8=True))
+    vq1 = _with_dummy_scales(sd_vae.quantize_decoder(vp, mid_int8=True))
+    results["full_int8"] = bench(uq1, vq1, "full_int8")
+    print("# quantize full_int8_int8ep (pre-r5 all-int8 epilogue)", flush=True)
+    vq2 = _with_dummy_scales(sd_vae.quantize_decoder(vp, mid_int8=True,
+                                                     bf16_epilogue=False))
+    results["full_int8_int8ep"] = bench(uq1, vq2, "full_int8_int8ep")
+    del vq2
     print("# quantize conv_only", flush=True)
     uq0 = _with_dummy_scales(sd_unet.quantize_unet(up, attn_int8=False))
     vq0 = _with_dummy_scales(sd_vae.quantize_decoder(vp, mid_int8=False))
     results["conv_only"] = bench(uq0, vq0, "conv_only")
-    del uq0, vq0
-    print("# quantize full_int8", flush=True)
-    uq1 = _with_dummy_scales(sd_unet.quantize_unet(up, attn_int8=True))
-    vq1 = _with_dummy_scales(sd_vae.quantize_decoder(vp, mid_int8=True))
-    results["full_int8"] = bench(uq1, vq1, "full_int8")
 
     out = {"bench": "musetalk_int8_step_ab", "b": B,
            "ms_per_step": results,
