@@ -31,13 +31,19 @@ class CapacityError(MaxSessionError):
 # musetalk 480x640 int8 holds 29.33 fps/session at 8 sessions
 # (SERVING_r03_engine8_fullint8.json) and degrades to 19.2 at 12
 # (SERVING_r03_engine12.json) — the cliff sits between 8 and 12.
-# Families without a committed engine-egress capacity curve are None
-# (no capacity gate beyond --max_session).
+# r5 curves for the other families (SERVING_r05_*.json):
+#   wav2lip   74.7 fps/session at 16 sessions (1252 aggregate) — no
+#             cliff found up to 16; 16 is the measured FLOOR, not a
+#             ceiling (the v5e could carry more; the 1-core bench host
+#             saturates first)
+#   ultralight 46.9 at 8 / 66.1 at 12 (806 aggregate, stacked-weights
+#             coalescing) — likewise a measured floor
+#   ernerf    46.4 at 4 sessions; 20.3 at 8 — cliff between 4 and 8
 MEASURED_CAPACITY = {
     "musetalk": 8,
-    "wav2lip": None,
-    "ultralight": None,
-    "ernerf": None,
+    "wav2lip": 16,
+    "ultralight": 12,
+    "ernerf": 4,
 }
 
 
