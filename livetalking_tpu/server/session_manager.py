@@ -36,7 +36,7 @@ class CapacityError(MaxSessionError):
 #             cliff found up to 16; 16 is the measured FLOOR, not a
 #             ceiling (the v5e could carry more; the 1-core bench host
 #             saturates first)
-#   ultralight 46.9 at 8 / 66.1 at 12 (806 aggregate, stacked-weights
+#   ultralight 75.7 at 8 / 66.1 at 12 (806 aggregate, stacked-weights
 #             coalescing) — likewise a measured floor
 #   ernerf    46.4 at 4 sessions; 20.3 at 8 — cliff between 4 and 8
 MEASURED_CAPACITY = {
