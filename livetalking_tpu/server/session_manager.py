@@ -29,8 +29,10 @@ class CapacityError(MaxSessionError):
 # Measured single-chip real-time capacity (sessions sustaining >=25
 # finalfps each) per family, from the committed engine-egress artifacts:
 # musetalk 480x640 int8 holds 29.33 fps/session at 8 sessions
-# (SERVING_r03_engine8_fullint8.json) and degrades to 19.2 at 12
-# (SERVING_r03_engine12.json) — the cliff sits between 8 and 12.
+# (SERVING_r03_engine8_fullint8.json) and degrades to 23.5 at 10 /
+# 19.2 at 12 (SERVING_r05_engine10.json, SERVING_r03_engine12.json;
+# aggregate pinned at ~235 in all three) — the cliff sits between 8
+# and 10.
 # r5 curves for the other families (SERVING_r05_*.json):
 #   wav2lip   74.7 fps/session at 16 sessions (1252 aggregate) — no
 #             cliff found up to 16; 16 is the measured FLOOR, not a
